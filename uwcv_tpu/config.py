@@ -1,0 +1,252 @@
+"""Configuration system.
+
+The reference hard-codes every knob as a module-level constant inside its
+entry scripts (paths at nn_train.py:166,188; thresholds at
+nn_inference.py:188-189,226; solver at nn_train.py:201-206; measurement
+calibration at nn_inference.py:409).  Here the same knob set becomes one
+typed dataclass tree with dotted-path CLI overrides, so every reference
+constant has a named, documented home.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    """Mask R-CNN architecture knobs (reference: Detectron2 model-zoo
+    COCO-InstanceSegmentation/mask_rcnn_R_101_FPN_3x.yaml, nn_train.py:196)."""
+
+    # Backbone
+    depth: int = 50                       # 50 or 101 (reference trains 101, benches R50)
+    fpn_channels: int = 256
+    num_classes: int = 4                  # nn_train.py:206
+    mask_on: bool = True
+    # Compute dtype for the conv trunk (MXU-friendly)
+    dtype: str = "bfloat16"
+    # Pixel normalization (Detectron2 R50/R101 caffe-style BGR means, std=1)
+    pixel_mean: Tuple[float, float, float] = (103.530, 116.280, 123.675)
+    pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    input_format: str = "BGR"             # DefaultPredictor default
+
+    # Anchors (Detectron2 FPN defaults)
+    anchor_sizes: Tuple[Tuple[float, ...], ...] = (
+        (32.0,), (64.0,), (128.0,), (256.0,), (512.0,))
+    anchor_aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_stride_levels: Tuple[int, ...] = (4, 8, 16, 32, 64)  # P2..P6
+
+    # RPN
+    rpn_pre_nms_topk_train: int = 2000    # per level
+    rpn_pre_nms_topk_test: int = 1000
+    rpn_post_nms_topk_train: int = 1000
+    rpn_post_nms_topk_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_batch_size_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_fg_iou_thresh: float = 0.7
+    rpn_bg_iou_thresh: float = 0.3
+    rpn_bbox_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    rpn_smooth_l1_beta: float = 0.0       # pure L1, Detectron2 default
+
+    # ROI heads
+    roi_batch_size_per_image: int = 32    # nn_train.py:205
+    roi_positive_fraction: float = 0.25
+    roi_fg_iou_thresh: float = 0.5
+    roi_score_thresh_test: float = 0.80   # nn_inference.py:226 (0.45 in backup_main.py:247)
+    roi_nms_thresh_test: float = 0.5
+    detections_per_image: int = 100
+    roi_bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    pooler_resolution_box: int = 7
+    pooler_resolution_mask: int = 14
+    mask_head_resolution: int = 28        # deconv output
+    # canonical FPN level assignment (FPN paper eq. 1)
+    canonical_box_size: float = 224.0
+    canonical_level: int = 4
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return len(self.anchor_aspect_ratios)
+
+
+@dataclass
+class InputConfig:
+    """Image front-end (reference: Resize((800,800)) train nn_train.py:135;
+    ResizeShortestEdge(800, max 1333) at test via DefaultPredictor)."""
+
+    train_size: Tuple[int, int] = (800, 800)    # exact resize, nn_train.py:135
+    test_short_edge: int = 800
+    test_max_size: int = 1333
+    # static padded canvas (multiple of 128 for clean TPU tiling; >= max test dims)
+    pad_size_train: Tuple[int, int] = (800, 800)
+    pad_size_test: Tuple[int, int] = (1024, 1344)
+    size_divisibility: int = 32
+    # augmentation knobs (nn_train.py:136-144)
+    brightness_range: Tuple[float, float] = (0.8, 1.8)
+    contrast_range: Tuple[float, float] = (0.6, 1.3)
+    saturation_range: Tuple[float, float] = (0.8, 1.4)
+    rotation_angles: Tuple[float, ...] = (90.0,)   # RandomRotation(angle=[90,90])
+    lighting_scale: float = 0.7
+    vflip_prob: float = 0.4                        # RandomFlip(prob=0.4, vertical)
+    # per-image padded ground-truth capacity (static shape)
+    max_gt_instances: int = 100
+
+
+@dataclass
+class SolverConfig:
+    """Reference solver: nn_train.py:201-206."""
+
+    ims_per_batch: int = 2          # global batch (nn_train.py:201)
+    base_lr: float = 2.5e-4         # nn_train.py:203
+    max_iter: int = 1000            # nn_train.py:202
+    warmup_iters: int = 100         # Detectron2 default WARMUP_ITERS=1000 scaled; keep explicit
+    warmup_factor: float = 1.0e-3
+    steps: Tuple[int, ...] = ()     # STEPS=[] → constant LR after warmup (nn_train.py:204)
+    gamma: float = 0.1
+    momentum: float = 0.9
+    weight_decay: float = 1.0e-4
+    clip_grad_norm: float = 0.0     # 0 = off (reference has no clipping enabled)
+    checkpoint_period: int = 500
+    log_period: int = 20
+    seed: int = 0
+
+
+@dataclass
+class DataConfig:
+    """Dataset wiring (reference paths nn_train.py:166,188; nn_inference.py:309)."""
+
+    train_dataset: str = "multiclass_Train"
+    test_dataset: str = "multiclass_Test"
+    dataset_root: str = "./DATASET"
+    inference_dir: str = "./DATASET/INFERENCE"
+    classes_csv: str = "./DATASET/classes.csv"   # columns className,red,green,blue
+    num_workers: int = 2                          # nn_train.py:199
+    prefetch_depth: int = 2
+    image_ext: Tuple[str, ...] = (".tif", ".tiff", ".png", ".jpg", ".jpeg")
+
+
+@dataclass
+class PostprocessConfig:
+    """Mask cleanup + filtering (nn_inference.py:188-189,265-306)."""
+
+    score_floor: float = 0.5            # nn_inference.py:272-275 intent
+    min_mask_pixels: int = 2            # min_crys_size, nn_inference.py:265
+    # per-class score thresholds / min pixel counts. The reference ships only 3
+    # entries for 4 classes (nn_inference.py:188-189) — a bug; we extend to 4.
+    class_thresholds: Tuple[float, ...] = (0.18, 0.35, 0.58, 0.58)
+    class_min_pixels: Tuple[int, ...] = (75, 150, 75, 75)
+    fill_holes: bool = True
+    smooth: bool = True                 # erosion(dilation(mask)) nn_inference.py:296-297
+    remove_overlaps: bool = True
+    drop_fragmented: bool = True        # multi-component masks zeroed nn_inference.py:299-306
+
+
+@dataclass
+class MeasureConfig:
+    """Morphology measurement (nn_inference.py:339-459,500-585)."""
+
+    min_contour_area: float = 100.0     # nn_inference.py:412
+    pixels_per_metric: float = 0.85     # nn_inference.py:409
+    moving_average_window: int = 3      # nn_inference.py:501
+    histogram_bins: int = 10            # nn_inference.py:531-539
+    descriptor_columns: Tuple[str, ...] = (
+        "Feret Diameter", "Aspect Ratio", "Roundness", "Circularity",
+        "Sphericity", "Length", "Width", "CircularED", "Chords",
+    )                                    # nn_inference.py:569
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh / sharding (no counterpart in the single-GPU reference; §2c)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # (data, model) mesh shape; -1 = all available devices on the data axis
+    mesh_shape: Tuple[int, int] = (-1, 1)
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    input: InputConfig = field(default_factory=InputConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    postprocess: PostprocessConfig = field(default_factory=PostprocessConfig)
+    measure: MeasureConfig = field(default_factory=MeasureConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    output_dir: str = "./output"
+    weights: str = ""                   # checkpoint path or torch .pth to import
+
+    # ---- dotted-path overrides: cfg.apply(["solver.base_lr=1e-3", ...]) ----
+    def apply(self, overrides: Sequence[str]) -> "Config":
+        for item in overrides:
+            if "=" not in item:
+                raise ValueError(f"override must be key=value, got {item!r}")
+            key, raw = item.split("=", 1)
+            node: Any = self
+            parts = key.strip().split(".")
+            for p in parts[:-1]:
+                node = getattr(node, p)
+            leaf = parts[-1]
+            if not hasattr(node, leaf):
+                raise AttributeError(f"no config field {key!r}")
+            current = getattr(node, leaf)
+            setattr(node, leaf, _coerce(raw, current))
+        return self
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        cfg = cls()
+        for fname, fval in d.items():
+            cur = getattr(cfg, fname, None)
+            if dataclasses.is_dataclass(cur) and isinstance(fval, dict):
+                for k, v in fval.items():
+                    cur_v = getattr(cur, k)
+                    if isinstance(cur_v, tuple) and isinstance(v, list):
+                        v = _retuple(v)
+                    setattr(cur, k, v)
+            else:
+                setattr(cfg, fname, fval)
+        return cfg
+
+
+def _retuple(v):
+    return tuple(_retuple(x) if isinstance(x, list) else x for x in v)
+
+
+def _coerce(raw: str, current: Any) -> Any:
+    raw = raw.strip()
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        if raw in ("()", "[]", ""):
+            return ()
+        parsed = json.loads(raw) if raw.startswith("[") else [
+            x for x in raw.strip("()").split(",") if x]
+        elem = current[0] if current else None
+        if isinstance(elem, float):
+            return tuple(float(x) for x in parsed)
+        if isinstance(elem, int):
+            return tuple(int(x) for x in parsed)
+        return tuple(str(x).strip() for x in parsed)
+    return raw
+
+
+def get_config(overrides: Optional[Sequence[str]] = None) -> Config:
+    cfg = Config()
+    if overrides:
+        cfg.apply(overrides)
+    return cfg
