@@ -1,0 +1,124 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uwcv_tpu.config import Config
+from uwcv_tpu.data.augment import (
+    augment_batch,
+    augment_sample,
+    rot90_boxes,
+    unpack_bitmasks,
+    vflip_boxes,
+)
+from uwcv_tpu.data.loader import TrainLoader, collate, prepare_train_sample
+from uwcv_tpu.data.superannotate import get_superannotate_dicts
+from uwcv_tpu.data.synthetic import generate_dataset
+
+
+def _mask_bbox(mask):
+    ys, xs = np.nonzero(np.asarray(mask))
+    return np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1], np.float32)
+
+
+def test_rot90_box_mask_consistency():
+    size = 64
+    mask = np.zeros((size, size), bool)
+    mask[10:20, 30:50] = True  # y 10..20, x 30..50
+    box = jnp.asarray(_mask_bbox(mask))
+    rot_mask = jnp.rot90(jnp.asarray(mask), k=1, axes=(0, 1))
+    rot_box = rot90_boxes(box, size)
+    np.testing.assert_allclose(np.asarray(rot_box), _mask_bbox(rot_mask))
+
+
+def test_vflip_box_mask_consistency():
+    size = 64
+    mask = np.zeros((size, size), bool)
+    mask[5:15, 20:40] = True
+    box = jnp.asarray(_mask_bbox(mask))
+    flip_mask = jnp.asarray(mask)[::-1]
+    flip_box = vflip_boxes(box, size)
+    np.testing.assert_allclose(np.asarray(flip_box), _mask_bbox(flip_mask))
+
+
+def test_unpack_bitmasks_roundtrip():
+    rng = np.random.default_rng(0)
+    masks = rng.random((3, 16, 20)) > 0.5
+    packed = np.packbits(masks, axis=-1)
+    unpacked = unpack_bitmasks(jnp.asarray(packed), 20)
+    np.testing.assert_array_equal(np.asarray(unpacked), masks)
+
+
+def test_augment_sample_shapes_and_determinism():
+    cfg = Config()
+    size = 64
+    rng = np.random.default_rng(1)
+    sample = {
+        "image": jnp.asarray(rng.uniform(0, 255, (size, size, 3)), jnp.float32),
+        "boxes": jnp.asarray([[10, 10, 30, 20]] * 5, jnp.float32),
+        "classes": jnp.zeros((5,), jnp.int32),
+        "valid": jnp.ones((5,), bool),
+        "masks": jnp.zeros((5, size, size), bool),
+    }
+    key = jax.random.key(0)
+    out1 = augment_sample(sample, key, cfg.input)
+    out2 = augment_sample(sample, key, cfg.input)
+    assert out1["image"].shape == (size, size, 3)
+    assert out1["boxes"].shape == (5, 4)
+    np.testing.assert_array_equal(np.asarray(out1["image"]),
+                                  np.asarray(out2["image"]))
+    # pixels stay in range
+    arr = np.asarray(out1["image"])
+    assert arr.min() >= 0.0 and arr.max() <= 255.0
+    # different key → different image
+    out3 = augment_sample(sample, jax.random.key(1), cfg.input)
+    assert not np.allclose(np.asarray(out1["image"]), np.asarray(out3["image"]))
+
+
+def test_augment_batch_jits():
+    cfg = Config()
+    size = 32
+    batch = {
+        "image": jnp.ones((2, size, size, 3), jnp.float32) * 128,
+        "boxes": jnp.tile(jnp.asarray([[4, 4, 12, 12]], jnp.float32), (2, 3, 1))[...],
+        "classes": jnp.zeros((2, 3), jnp.int32),
+        "valid": jnp.ones((2, 3), bool),
+        "masks": jnp.zeros((2, 3, size, size), bool),
+    }
+    fn = jax.jit(lambda b, k: augment_batch(b, k, cfg.input))
+    out = fn(batch, jax.random.key(0))
+    assert out["image"].shape == (2, size, size, 3)
+    assert out["boxes"].shape == (2, 3, 4)
+
+
+def test_prepare_train_sample_and_loader(tmp_path):
+    paths = generate_dataset(str(tmp_path), num_train=3, num_test=0,
+                             num_inference=0, image_size=(96, 128))
+    dicts = get_superannotate_dicts(paths["Train"])
+    cfg = Config()
+    cfg.input.train_size = (64, 64)
+    cfg.input.max_gt_instances = 16
+    cfg.solver.ims_per_batch = 2
+
+    sample = prepare_train_sample(dicts[0], cfg)
+    assert sample["image"].shape == (64, 64, 3)
+    assert sample["boxes"].shape == (16, 4)
+    assert sample["masks_packed"].shape == (16, 64, 8)
+    n = int(sample["num_instances"])
+    assert n > 0
+    assert sample["valid"][:n].all() and not sample["valid"][n:].any()
+    # boxes scaled into the 64x64 frame
+    assert sample["boxes"][:n].max() <= 64.0 + 1e-3
+    # mask/box agreement for first instance
+    masks = np.unpackbits(sample["masks_packed"], axis=-1)[:, :, :64]
+    ys, xs = np.nonzero(masks[0])
+    bx = sample["boxes"][0]
+    assert xs.min() >= bx[0] - 2 and xs.max() <= bx[2] + 2
+    assert ys.min() >= bx[1] - 2 and ys.max() <= bx[3] + 2
+
+    loader = TrainLoader(dicts, cfg, seed=0, num_workers=1).start()
+    it = iter(loader)
+    batch = next(it)
+    loader.stop()
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["boxes"].shape == (2, 16, 4)
+    assert batch["image"].dtype == np.uint8

@@ -1,0 +1,183 @@
+"""Host input pipeline: decode → resize → rasterize → pack → prefetch.
+
+Replaces the reference's torch DataLoader with 2 worker processes
+(nn_train.py:199, SURVEY.md N14) with a thread-pool prefetch pipeline feeding
+device-resident batches:
+
+  worker threads:  PIL decode → exact resize to train_size → polygon scale →
+                   PIL rasterize GT masks → bit-pack (8× smaller H2D)
+  main thread:     collate fixed-shape numpy batch → jax.device_put
+  device (in the train step): unpack bits, augment, normalize
+
+Everything leaving this module has a *static* shape: image
+[B, S, S, 3] uint8, boxes [B, N, 4] f32, packed masks [B, N, S, S/8] uint8,
+classes [B, N] i32, valid [B, N] bool — so the train step compiles exactly
+once.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from uwcv_tpu.config import Config
+from uwcv_tpu.data.rasterize import polygons_to_mask
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """Decode any supported image (incl. .tif via PIL) to HWC uint8 RGB."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        return np.asarray(im, dtype=np.uint8)
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    from PIL import Image
+
+    if img.shape[0] == out_h and img.shape[1] == out_w:
+        return img
+    return np.asarray(
+        Image.fromarray(img).resize((out_w, out_h), Image.BILINEAR),
+        dtype=np.uint8)
+
+
+def prepare_train_sample(record: Dict, cfg: Config) -> Dict[str, np.ndarray]:
+    """One dataset dict → fixed-shape numpy sample at train resolution.
+
+    Mirrors the reference's Resize((800,800)) + annotation transform
+    (nn_train.py:135, utils.transform_instance_annotations): boxes and
+    polygons are scaled by (out/in) per axis, masks rasterized at the output
+    resolution.  Empty-after-transform instances are dropped
+    (filter_empty_instances, nn_train.py:154).
+    """
+    s_h, s_w = cfg.input.train_size
+    img = load_image_rgb(record["file_name"])
+    in_h, in_w = img.shape[:2]
+    img = resize_image(img, s_h, s_w)
+    sx, sy = s_w / in_w, s_h / in_h
+
+    n_max = cfg.input.max_gt_instances
+    boxes = np.zeros((n_max, 4), np.float32)
+    classes = np.zeros((n_max,), np.int32)
+    valid = np.zeros((n_max,), bool)
+    masks = np.zeros((n_max, s_h, s_w), bool)
+
+    i = 0
+    for ann in record.get("annotations", []):
+        if i >= n_max:
+            break
+        bx = np.asarray(ann["bbox"], np.float64) * [sx, sy, sx, sy]
+        if bx[2] - bx[0] <= 1e-3 or bx[3] - bx[1] <= 1e-3:
+            continue
+        polys = [
+            (np.asarray(p, np.float64).reshape(-1, 2) * [sx, sy]).reshape(-1)
+            for p in ann["segmentation"]
+        ]
+        m = polygons_to_mask(polys, s_h, s_w)
+        if not m.any():
+            continue  # empty instance after transform
+        boxes[i] = bx
+        classes[i] = ann["category_id"]
+        masks[i] = m
+        valid[i] = True
+        i += 1
+
+    return {
+        "image": img,  # uint8 HWC RGB — normalized on device
+        "boxes": boxes,
+        "classes": classes,
+        "valid": valid,
+        "masks_packed": np.packbits(masks, axis=-1),
+        "num_instances": np.int32(i),
+    }
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class TrainLoader:
+    """Infinite shuffled loader with threaded decode workers.
+
+    Yields host numpy batches; callers do jax.device_put / sharding (the
+    engine owns placement so multi-host sharding stays in one spot).
+    """
+
+    def __init__(self, dataset: List[Dict], cfg: Config, seed: int = 0,
+                 num_workers: Optional[int] = None):
+        if not dataset:
+            raise ValueError("empty dataset")
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = cfg.solver.ims_per_batch
+        self.num_workers = (num_workers if num_workers is not None
+                            else max(1, cfg.data.num_workers))
+        self.rng = np.random.default_rng(seed)
+        self._q: "queue.Queue" = queue.Queue(maxsize=cfg.data.prefetch_depth)
+        self._stop = threading.Event()
+        self._threads: List[threading.Thread] = []
+
+    def _index_stream(self) -> Iterator[int]:
+        while True:
+            order = self.rng.permutation(len(self.dataset))
+            for idx in order:
+                yield int(idx)
+
+    def start(self) -> "TrainLoader":
+        idx_stream = self._index_stream()
+        idx_lock = threading.Lock()
+
+        def worker():
+            while not self._stop.is_set():
+                samples = []
+                with idx_lock:
+                    idxs = [next(idx_stream) for _ in range(self.batch_size)]
+                for i in idxs:
+                    samples.append(prepare_train_sample(self.dataset[i], self.cfg))
+                batch = collate(samples)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        for _ in range(self.num_workers):
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def __iter__(self):
+        if not self._threads:
+            self.start()
+        while True:
+            yield self._q.get()
+
+    def stop(self):
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._threads.clear()
+        while not self._q.empty():
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+
+
+def list_inference_images(directory: str,
+                          exts: Sequence[str] = (".tif", ".tiff", ".png",
+                                                 ".jpg", ".jpeg")) -> List[str]:
+    """Image files in a folder, sorted (reference lists .tif only,
+    nn_inference.py:309-311; we accept the common formats)."""
+    import os
+
+    out = [os.path.join(directory, f) for f in sorted(os.listdir(directory))
+           if os.path.splitext(f)[1].lower() in exts]
+    return out
