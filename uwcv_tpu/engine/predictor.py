@@ -1,0 +1,164 @@
+"""Predictor: the reference's ``DefaultPredictor`` + batch driver rebuilt as
+one compiled XLA program per static batch shape (SURVEY.md §3.2).
+
+The entire per-image pipeline — dynamic-scale resize (N8), Mask R-CNN
+forward (N1-N5), full-image mask paste, and mask cleanup morphology (N12) —
+runs on device in a single jit; the host only decodes images and receives
+final padded Instances.  This removes the reference's per-image device
+round-trips of whole mask stacks (nn_inference.py:325-327) and its 3×
+redundant forward per image in the measurement sweep (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uwcv_tpu.config import Config
+from uwcv_tpu.data.loader import load_image_rgb
+from uwcv_tpu.models.rcnn import MaskRCNN
+from uwcv_tpu.ops.mask_paste import paste_masks
+from uwcv_tpu.ops.morphology import postprocess_masks
+from uwcv_tpu.structures.instances import Instances
+from uwcv_tpu.utils.image import pad_to_canvas, shortest_edge_scale
+
+
+class Predictor:
+    """predictor = Predictor(cfg, params); instances = predictor(bgr_or_path)
+
+    Call signature mirrors the reference (nn_inference.py:227,321) but
+    returns our padded ``Instances``; ``predict_batch`` amortizes compilation
+    over folders of images (nn_inference.py:319 loop).
+    """
+
+    def __init__(self, cfg: Config, params, mask_postprocess: bool = True):
+        self.cfg = cfg
+        self.model = MaskRCNN(cfg.model)
+        self.params = params
+        self.mask_postprocess = mask_postprocess
+        self.pad_h, self.pad_w = cfg.input.pad_size_test
+        # host canvas: images are padded (not resized) before transfer, the
+        # device applies the dynamic-scale resample. Canvas must fit raw
+        # inputs after the scale-to-fit preclamp below.
+        self._jit_run = jax.jit(self._run)
+
+    # -------- device program --------
+
+    def _run(self, images: jnp.ndarray, scales: jnp.ndarray,
+             out_sizes: jnp.ndarray):
+        """images [B,Hc,Wc,3] uint8 host-padded; scales [B]; out_sizes [B,2]
+        (true resized h,w) → padded detections + full-size masks."""
+        cfg = self.cfg
+
+        def resize_one(img, scale):
+            return jax.image.scale_and_translate(
+                img.astype(jnp.float32),
+                (self.pad_h, self.pad_w, 3),
+                spatial_dims=(0, 1),
+                scale=jnp.stack([scale, scale]),
+                translation=jnp.zeros((2,), jnp.float32),
+                method="bilinear", antialias=True)
+
+        resized = jax.vmap(resize_one)(images, scales)
+        # mask out pad region (resample ringing beyond the true extent)
+        yy = jnp.arange(self.pad_h)[None, :, None]
+        xx = jnp.arange(self.pad_w)[None, None, :]
+        inside = ((yy < out_sizes[:, 0][:, None, None])
+                  & (xx < out_sizes[:, 1][:, None, None]))
+        resized = resized * inside[..., None]
+
+        dets, mask_probs = self.model.apply(
+            self.params, resized, method=MaskRCNN.inference)
+
+        def paste_one(det, probs, out_size):
+            masks = paste_masks(probs, det.boxes, (self.pad_h, self.pad_w))
+            masks &= det.valid[:, None, None]
+            if self.mask_postprocess:
+                pp = cfg.postprocess
+                masks, keep = postprocess_masks(
+                    masks, det.scores, det.valid,
+                    min_pixels=pp.min_mask_pixels,
+                    score_floor=pp.score_floor,
+                    do_fill_holes=pp.fill_holes,
+                    do_smooth=pp.smooth,
+                    do_remove_overlaps=pp.remove_overlaps,
+                    drop_fragmented=pp.drop_fragmented)
+            else:
+                keep = det.valid
+            return masks, keep
+
+        masks, keep = jax.vmap(paste_one)(dets, mask_probs, out_sizes)
+        return dets, masks, keep
+
+    # -------- host API --------
+
+    def _prepare(self, image_rgb: np.ndarray):
+        h, w = image_rgb.shape[:2]
+        scale = shortest_edge_scale(
+            h, w, self.cfg.input.test_short_edge, self.cfg.input.test_max_size)
+        # ensure the scaled image fits the static pad; shrink further if not
+        scale = min(scale, self.pad_h / h, self.pad_w / w)
+        canvas_h = int(np.ceil(self.pad_h / scale))
+        canvas_w = int(np.ceil(self.pad_w / scale))
+        padded = pad_to_canvas(image_rgb, canvas_h, canvas_w)
+        out_h = min(int(round(h * scale)), self.pad_h)
+        out_w = min(int(round(w * scale)), self.pad_w)
+        return padded, scale, (out_h, out_w)
+
+    def predict_batch(self, images_rgb: Sequence[np.ndarray]) -> List[Instances]:
+        """Run a batch; input images may have arbitrary (per-image) sizes.
+
+        Host canvases are grouped to one static size per call (the max over
+        the batch) so each distinct folder shape compiles once.
+        """
+        prepped = [self._prepare(im) for im in images_rgb]
+        ch = max(p[0].shape[0] for p in prepped)
+        cw = max(p[0].shape[1] for p in prepped)
+        batch = np.stack([pad_to_canvas(p[0], ch, cw) for p in prepped])
+        # scale relative to the common canvas stays per-image
+        scales = jnp.asarray([p[1] for p in prepped], jnp.float32)
+        out_sizes = jnp.asarray([p[2] for p in prepped], jnp.int32)
+
+        dets, masks, keep = self._jit_run(
+            jnp.asarray(batch), scales, out_sizes)
+
+        results = []
+        for i, (im, (padded, scale, (oh, ow))) in enumerate(
+                zip(images_rgb, prepped)):
+            # boxes back to original image coordinates
+            inst = Instances(
+                boxes=dets.boxes[i] / scale,
+                scores=dets.scores[i],
+                classes=dets.classes[i],
+                valid=dets.valid[i] & keep[i],
+                masks=masks[i],
+                image_size=(oh, ow),
+            )
+            results.append(inst)
+        return results
+
+    def __call__(self, image) -> Instances:
+        """Single image — accepts an RGB ndarray or a file path."""
+        if isinstance(image, str):
+            image = load_image_rgb(image)
+        return self.predict_batch([image])[0]
+
+
+def load_predictor(cfg: Config, weights: Optional[str] = None) -> Predictor:
+    """Build a predictor from cfg.weights (orbax dir or torch .pth) —
+    the reference's cfg.MODEL.WEIGHTS = model_final.pth flow
+    (nn_inference.py:225)."""
+    from uwcv_tpu.engine.checkpoint import load_weights
+
+    model = MaskRCNN(cfg.model)
+    h, w = cfg.input.pad_size_test
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(0), dummy, method=MaskRCNN.inference)
+    path = weights or cfg.weights
+    if path:
+        params = load_weights(path, params, cfg.model)
+    return Predictor(cfg, params)

@@ -1,0 +1,209 @@
+"""Trainer: jit/pjit data-parallel fine-tuning (SURVEY.md L3/N6/N7, §2c).
+
+Replaces the reference's ``CustomTrainer(cfg).train()`` (nn_train.py:211-213)
+with an explicit, functional train loop:
+
+- one compiled ``train_step`` (loss → grad → optax sgd+momentum with the
+  Detectron2 warmup schedule), data-parallel over the mesh's ``data`` axis;
+- FrozenBN params and frozen backbone stages are masked out of the optimizer
+  (Detectron2 FrozenBatchNorm + FREEZE_AT semantics);
+- host loop owns the input pipeline (data/loader.py), periodic logging
+  (metrics.json lines like Detectron2's EventStorage), and orbax
+  checkpointing with resume (reference's resume_or_load, nn_train.py:212).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from uwcv_tpu.config import Config
+from uwcv_tpu.data.augment import augment_batch, unpack_bitmasks
+from uwcv_tpu.engine.lr_schedule import warmup_multistep
+from uwcv_tpu.models.rcnn import MaskRCNN
+from uwcv_tpu.parallel.mesh import build_mesh, replicate, shard_batch
+
+LOSS_WEIGHTS = {"rpn_cls": 1.0, "rpn_loc": 1.0, "cls": 1.0,
+                "box_reg": 1.0, "mask": 1.0}
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _trainable_mask(params, freeze_frozen_bn: bool = True,
+                    freeze_at: int = 2) -> Any:
+    """False for params the optimizer must not touch: FrozenBN affines and
+    backbone stages below ``freeze_at`` (stem=1, res2=2 — Detectron2
+    BACKBONE.FREEZE_AT default)."""
+
+    def decide(path) -> bool:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(str(k) for k in keys)
+        if freeze_frozen_bn and "frozen_bn" in joined:
+            return False
+        if freeze_at >= 1 and "/stem_" in "/" + joined:
+            return False
+        if freeze_at >= 2 and "res2_block" in joined:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: decide(path), params)
+
+
+def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
+    sched = warmup_multistep(cfg.solver)
+    chain = [optax.trace(decay=cfg.solver.momentum)]
+    if cfg.solver.clip_grad_norm > 0:
+        chain.insert(0, optax.clip_by_global_norm(cfg.solver.clip_grad_norm))
+    if cfg.solver.weight_decay > 0:
+        chain.insert(0, optax.add_decayed_weights(cfg.solver.weight_decay))
+    chain.append(optax.scale_by_learning_rate(sched))
+    tx = optax.chain(*chain)
+    mask = _trainable_mask(params)
+    return optax.masked(tx, mask)
+
+
+def make_train_step(model: MaskRCNN, cfg: Config, tx):
+    """Compiled step: (state, device_batch, rng) → (state, metrics)."""
+
+    train_size = cfg.input.train_size[1]
+
+    def loss_fn(params, batch, rng):
+        aug_rng, samp_rng = jax.random.split(rng)
+        masks = unpack_bitmasks(batch["masks_packed"], train_size)
+        aug = augment_batch(
+            {"image": batch["image"].astype(jnp.float32),
+             "boxes": batch["boxes"], "classes": batch["classes"],
+             "valid": batch["valid"], "masks": masks},
+            aug_rng, cfg.input)
+        losses = model.apply(
+            params, aug["image"], aug["boxes"], aug["classes"],
+            aug["masks"], aug["valid"], samp_rng,
+            method=MaskRCNN.forward_train)
+        total = sum(LOSS_WEIGHTS.get(k, 1.0) * v for k, v in losses.items())
+        return total, losses
+
+    def train_step(state: TrainState, batch, rng):
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+class Trainer:
+    """Host-side training driver."""
+
+    def __init__(self, cfg: Config, model: Optional[MaskRCNN] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.model = model or MaskRCNN(cfg.model)
+        self.mesh = mesh if mesh is not None else build_mesh(cfg.parallel)
+        self.tx = None
+        self.state: Optional[TrainState] = None
+        self._step_fn = None
+        os.makedirs(cfg.output_dir, exist_ok=True)
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.key(self.cfg.solver.seed)
+        h, w = self.cfg.input.train_size
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        params = self.model.init(rng, dummy, method=MaskRCNN.inference)
+        self.tx = make_optimizer(self.cfg, params)
+        opt_state = self.tx.init(params)
+        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        self.state = replicate(state, self.mesh)
+        self._step_fn = make_train_step(self.model, self.cfg, self.tx)
+        return self.state
+
+    def load_params(self, params) -> None:
+        """Install externally-built params (torch import / checkpoint)."""
+        self.tx = make_optimizer(self.cfg, params)
+        opt_state = self.tx.init(params)
+        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        self.state = replicate(state, self.mesh)
+        self._step_fn = make_train_step(self.model, self.cfg, self.tx)
+
+    def fit(self, batch_iter: Iterator[Dict[str, np.ndarray]],
+            max_iter: Optional[int] = None,
+            log_fn=print) -> TrainState:
+        """Run the training loop for max_iter steps (reference: 1000,
+        nn_train.py:202)."""
+        if self.state is None:
+            self.init_state()
+        max_iter = max_iter or self.cfg.solver.max_iter
+        rng = jax.random.key(self.cfg.solver.seed + 1)
+        metrics_path = os.path.join(self.cfg.output_dir, "metrics.json")
+        start_step = int(self.state.step)
+        t0 = time.time()
+        with open(metrics_path, "a") as mf:
+            for i in range(start_step, max_iter):
+                batch = next(batch_iter)
+                batch = shard_batch(batch, self.mesh)
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = self._step_fn(
+                    self.state, batch, step_rng)
+                if (i + 1) % self.cfg.solver.log_period == 0 or i + 1 == max_iter:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["iteration"] = i + 1
+                    m["time_per_iter"] = (time.time() - t0) / max(
+                        i + 1 - start_step, 1)
+                    mf.write(json.dumps(m) + "\n")
+                    mf.flush()
+                    log_fn(f"iter {i + 1}/{max_iter} "
+                           + " ".join(f"{k}={v:.4f}" for k, v in m.items()
+                                      if k != "iteration"))
+                if (self.cfg.solver.checkpoint_period > 0
+                        and (i + 1) % self.cfg.solver.checkpoint_period == 0):
+                    self.save_checkpoint()
+        self.save_checkpoint(final=True)
+        return self.state
+
+    def save_checkpoint(self, final: bool = False) -> str:
+        from uwcv_tpu.engine.checkpoint import save_checkpoint
+
+        step = int(self.state.step)
+        path = save_checkpoint(self.cfg.output_dir, self.state, step)
+        if final:
+            # reference writes OUTPUT_DIR/model_final.pth (nn_train.py:213)
+            save_checkpoint(self.cfg.output_dir, self.state, step,
+                            name="model_final")
+        return path
+
+    def resume_or_load(self, resume: bool = False) -> None:
+        """Reference API (nn_train.py:212): resume=True continues from the
+        latest checkpoint in output_dir; False loads cfg.weights if set,
+        else fresh init."""
+        from uwcv_tpu.engine.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+            load_weights,
+        )
+
+        if self.state is None:
+            self.init_state()
+        if resume:
+            latest = latest_checkpoint(self.cfg.output_dir)
+            if latest is not None:
+                self.state = load_checkpoint(latest, self.state)
+                self.state = replicate(self.state, self.mesh)
+                return
+        if self.cfg.weights:
+            params = load_weights(self.cfg.weights, self.state.params,
+                                  self.cfg.model)
+            self.load_params(params)

@@ -1,0 +1,117 @@
+"""ResNet-50/101 backbone (Flax linen, NHWC, bf16-friendly).
+
+TPU-native rebuild of the Detectron2 backbone the reference trains through
+its zoo config (mask_rcnn_R_101_FPN_3x.yaml, nn_train.py:196; SURVEY.md N1):
+
+- NHWC layout end-to-end (XLA's native TPU conv layout);
+- FrozenBatchNorm is a per-channel affine (scale, bias) — exactly what
+  Detectron2's FrozenBatchNorm2d computes after folding running stats; the
+  torch-weight importer (engine/checkpoint.py) performs the fold.  The affine
+  lives under a ``frozen_bn`` collection-like param name so the optimizer can
+  mask it out (Detectron2 keeps it frozen during fine-tune);
+- compute dtype bf16, params fp32 (MXU-friendly mixed precision);
+- returns the C2..C5 feature pyramid for the FPN.
+
+Stage layouts: R50 = [3,4,6,3], R101 = [3,4,23,3] bottleneck blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+class FrozenBN(nn.Module):
+    """Per-channel y = x*scale + bias with non-learned-stat semantics.
+
+    Equivalent to FrozenBatchNorm2d after folding:
+        scale = gamma / sqrt(running_var + eps);  bias = beta - mean*scale.
+    Initialized to identity for from-scratch training.
+    """
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("frozen_bn_scale", nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = self.param("frozen_bn_bias", nn.initializers.zeros, (c,),
+                          jnp.float32)
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    """1x1 → 3x3 → 1x1 bottleneck with optional projection shortcut.
+
+    Stride sits on the 3x3 conv (torchvision/Detectron2 modern ordering).
+    """
+
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    use_projection: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        if self.use_projection:
+            shortcut = nn.Conv(self.out_channels, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="shortcut_conv")(x)
+            shortcut = FrozenBN(self.dtype, name="shortcut_bn")(shortcut)
+
+        y = nn.Conv(self.bottleneck_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = FrozenBN(self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.bottleneck_channels, (3, 3),
+                    strides=(self.stride, self.stride), padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = FrozenBN(self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = FrozenBN(self.dtype, name="bn3")(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    """Backbone returning {"c2","c3","c4","c5"} NHWC features at /4../32."""
+
+    depth: int = 50
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        blocks = STAGE_BLOCKS[self.depth]
+        x = x.astype(self.dtype)
+
+        # stem: 7x7/2 conv + 3x3/2 maxpool → /4
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = FrozenBN(self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = {}
+        channels = (256, 512, 1024, 2048)
+        for stage, (n_blocks, out_c) in enumerate(zip(blocks, channels)):
+            stride = 1 if stage == 0 else 2
+            for b in range(n_blocks):
+                x = Bottleneck(
+                    out_channels=out_c,
+                    bottleneck_channels=out_c // 4,
+                    stride=stride if b == 0 else 1,
+                    use_projection=(b == 0),
+                    dtype=self.dtype,
+                    name=f"res{stage + 2}_block{b}",
+                )(x)
+            feats[f"c{stage + 2}"] = x
+        return feats

@@ -1,0 +1,114 @@
+"""Region Proposal Network — head + static-shape proposal selection
+(SURVEY.md N2).
+
+Detectron2's RPN does per-image dynamic filtering; here every stage has a
+compile-time size:
+
+1. the shared 3×3 conv head emits objectness + 4·A deltas per level;
+2. per level: ``lax.top_k`` takes ``pre_nms_topk`` candidates (anchors are
+   static constants folded into the program);
+3. candidates from all levels are concatenated (padded), decoded, clipped;
+4. one fixed-shape NMS keeps ``post_nms_topk`` proposals per image.
+
+Note: Detectron2 runs NMS per level then takes the global top-k; since v0.3
+it actually does NMS over the concatenated levels with level-offset ids
+(batched_nms on level index).  We match that: NMS never merges boxes from
+different levels (level offset trick), matching torch semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from uwcv_tpu.config import ModelConfig
+from uwcv_tpu.ops.nms import NEG_INF, nms_mask
+from uwcv_tpu.structures.boxes import clip_boxes, decode_deltas, nonempty_boxes
+
+LEVELS = ("p2", "p3", "p4", "p5", "p6")
+
+
+class RPNHead(nn.Module):
+    """Shared conv head: [B,H,W,C] → (objectness [B,H,W,A], deltas [B,H,W,A*4])."""
+
+    num_anchors: int
+    channels: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats: Dict[str, jnp.ndarray]):
+        conv = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="rpn_conv")
+        obj_head = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                           name="objectness")
+        delta_head = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                             name="anchor_deltas")
+        obj, deltas = {}, {}
+        for name in LEVELS:
+            h = nn.relu(conv(feats[name]))
+            obj[name] = obj_head(h).astype(jnp.float32)
+            deltas[name] = delta_head(h).astype(jnp.float32)
+        return obj, deltas
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray   # [B, K, 4]
+    scores: jnp.ndarray  # [B, K] objectness logits (sorted desc)
+    valid: jnp.ndarray   # [B, K] bool
+
+
+def generate_proposals(
+    obj: Dict[str, jnp.ndarray],
+    deltas: Dict[str, jnp.ndarray],
+    anchors: Dict[str, jnp.ndarray],
+    image_size: Tuple[int, int],
+    cfg: ModelConfig,
+    training: bool,
+) -> Proposals:
+    """Static-shape proposal selection for a batch.
+
+    obj[level]: [B,H,W,A] logits; deltas[level]: [B,H,W,A*4];
+    anchors[level]: [H*W*A, 4] constants for the padded image size.
+    """
+    pre_k = (cfg.rpn_pre_nms_topk_train if training
+             else cfg.rpn_pre_nms_topk_test)
+    post_k = (cfg.rpn_post_nms_topk_train if training
+              else cfg.rpn_post_nms_topk_test)
+
+    def per_image(obj_i, deltas_i):
+        cand_boxes, cand_scores, cand_level = [], [], []
+        for li, name in enumerate(LEVELS):
+            logits = obj_i[name].reshape(-1)          # [HWA]
+            d = deltas_i[name].reshape(-1, 4)         # [HWA,4]
+            k = min(pre_k, logits.shape[0])
+            top_scores, idx = jax.lax.top_k(logits, k)
+            sel_anchors = anchors[name][idx]
+            sel_deltas = d[idx]
+            boxes = decode_deltas(sel_deltas, sel_anchors,
+                                  cfg.rpn_bbox_reg_weights)
+            boxes = clip_boxes(boxes, image_size)
+            ok = nonempty_boxes(boxes, 0.0)
+            cand_boxes.append(boxes)
+            cand_scores.append(jnp.where(ok, top_scores, NEG_INF))
+            cand_level.append(jnp.full((k,), li, jnp.float32))
+
+        boxes = jnp.concatenate(cand_boxes)      # [sum_k, 4]
+        scores = jnp.concatenate(cand_scores)
+        level = jnp.concatenate(cand_level)
+
+        # level-offset trick: boxes from different levels never suppress
+        # each other (matches Detectron2 batched_nms on level ids)
+        h, w = image_size
+        offset = level[:, None] * (2.0 * max(h, w))
+        keep = nms_mask(boxes + offset, scores, cfg.rpn_nms_thresh)
+        masked = jnp.where(keep, scores, NEG_INF)
+        top_scores, idx = jax.lax.top_k(masked, post_k)
+        valid = top_scores > NEG_INF / 2
+        out_boxes = jnp.where(valid[:, None], boxes[idx], 0.0)
+        return out_boxes, top_scores, valid
+
+    b, s, v = jax.vmap(per_image)(obj, deltas)
+    return Proposals(b, s, v)

@@ -1,0 +1,181 @@
+"""Device-side binary mask morphology (SURVEY.md N12).
+
+The reference cleans every predicted mask on the CPU with scipy/skimage
+(nn_inference.py:286-306): ``binary_fill_holes`` → ``erosion(dilation(m))``
+→ overlap removal → connected-component check.  That per-mask Python loop is
+the batch-inference bottleneck after the model itself.  Here the whole
+cleanup is a fixed-shape XLA program over [N, H, W] mask stacks:
+
+- dilate/erode: 3×3 max/min pooling (``lax.reduce_window``);
+- fill_holes: flood the *background* from the border with iterated 3×3
+  dilation constrained to ~mask (lax.while_loop with convergence test —
+  worst-case bound H+W iterations, exits early when the flood stabilizes);
+- connected components: iterated neighborhood label-min-propagation over a
+  unique-seed labeling, same while_loop pattern;
+- overlap removal: cumulative "claimed" canvas in score order via
+  ``lax.scan`` (associative in paint order, matches nn_inference.py:298).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pool3x3(x: jnp.ndarray, op: str) -> jnp.ndarray:
+    """3×3 max/min over the last two dims of [..., H, W] float arrays."""
+    init = -jnp.inf if op == "max" else jnp.inf
+    comp = jax.lax.max if op == "max" else jax.lax.min
+    nd = x.ndim
+    window = (1,) * (nd - 2) + (3, 3)
+    strides = (1,) * nd
+    pads = ((0, 0),) * (nd - 2) + ((1, 1), (1, 1))
+    return jax.lax.reduce_window(x, init, comp, window, strides, pads)
+
+
+def dilate(mask: jnp.ndarray) -> jnp.ndarray:
+    """3×3 binary dilation of bool [..., H, W]."""
+    return _pool3x3(mask.astype(jnp.float32), "max") > 0.5
+
+
+def erode(mask: jnp.ndarray) -> jnp.ndarray:
+    """3×3 binary erosion of bool [..., H, W]."""
+    return _pool3x3(mask.astype(jnp.float32), "min") > 0.5
+
+
+def close_open_smooth(mask: jnp.ndarray) -> jnp.ndarray:
+    """erosion(dilation(mask)) — the reference's smoothing
+    (nn_inference.py:296-297: morphological closing with a 3×3 structure)."""
+    return erode(dilate(mask))
+
+
+def fill_holes(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
+    """binary_fill_holes for bool [..., H, W] stacks.
+
+    Floods background from the image border; pixels unreachable from the
+    border are holes and get filled.  Convergence-tested while_loop (each
+    dilation advances the frontier ≥1 px, so iterations ≤ H+W worst case).
+    """
+    h, w = mask.shape[-2], mask.shape[-1]
+    max_iters = max_iters or (h + w)
+    inv = ~mask
+
+    border = jnp.zeros_like(mask)
+    border = border.at[..., 0, :].set(True)
+    border = border.at[..., -1, :].set(True)
+    border = border.at[..., :, 0].set(True)
+    border = border.at[..., :, -1].set(True)
+    seed = border & inv
+
+    def cond(state):
+        i, flood, changed = state
+        return (i < max_iters) & changed
+
+    def body(state):
+        i, flood, _ = state
+        new = dilate(flood) & inv
+        return i + 1, new, jnp.any(new != flood)
+
+    _, flood, _ = jax.lax.while_loop(cond, body, (0, seed, jnp.array(True)))
+    return mask | (~flood & inv) | mask
+
+
+def connected_components(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
+    """Label 8-connected components of one bool [H, W] mask.
+
+    Returns int32 [H, W]: 0 = background, components carry the (arbitrary
+    but distinct) minimum seed id of their pixels.  Iterated min-propagation.
+    """
+    h, w = mask.shape
+    max_iters = max_iters or (h + w)
+    seeds = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w) + 1)
+    big = jnp.int32(h * w + 2)
+    labels = jnp.where(mask, seeds, big).astype(jnp.float32)
+
+    def cond(state):
+        i, lab, changed = state
+        return (i < max_iters) & changed
+
+    def body(state):
+        i, lab, _ = state
+        prop = _pool3x3(-lab, "max") * -1.0  # 3×3 min
+        new = jnp.where(mask, jnp.minimum(lab, prop), lab)
+        return i + 1, new, jnp.any(new != lab)
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (0, labels, jnp.array(True)))
+    return jnp.where(mask, labels.astype(jnp.int32), 0)
+
+
+def count_components(mask: jnp.ndarray) -> jnp.ndarray:
+    """Number of 8-connected components in one bool [H, W] mask (scalar).
+
+    A component is counted by its unique root label: count pixels whose
+    label equals their own seed id."""
+    labels = connected_components(mask)
+    h, w = mask.shape
+    seeds = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w) + 1
+    roots = mask & (labels == seeds)
+    return jnp.sum(roots.astype(jnp.int32))
+
+
+def remove_overlaps(masks: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
+    """Zero pixels already claimed by earlier (higher-priority) masks.
+
+    masks [N,H,W] bool; order [N] int32 — priority ranking (0 = first
+    painter).  Matches nn_inference.py:298 (higher-score masks win pixels).
+    """
+    n = masks.shape[0]
+    ranked = masks[order]
+
+    def step(claimed, m):
+        keep = m & ~claimed
+        return claimed | keep, keep
+
+    _, kept_ranked = jax.lax.scan(step, jnp.zeros_like(ranked[0]), ranked)
+    # unsort back to original positions
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return kept_ranked[inv]
+
+
+def postprocess_masks(
+    masks: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    min_pixels: int = 2,
+    score_floor: float = 0.5,
+    do_fill_holes: bool = True,
+    do_smooth: bool = True,
+    do_remove_overlaps: bool = True,
+    drop_fragmented: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The reference's full postprocess_masks (nn_inference.py:265-306) as one
+    jit-able program over a padded [N,H,W] stack.
+
+    Reference bugs intentionally fixed (SURVEY.md §2a): size filtering uses a
+    proper mask instead of the ``keep_ind`` truncation; the score floor is
+    per-instance rather than ``ori_score.all() < 0.5``.
+    Returns (cleaned_masks [N,H,W] bool, keep [N] bool).
+    """
+    keep = valid & (scores >= score_floor)
+    keep &= masks.sum(axis=(1, 2)) >= min_pixels
+    m = masks & keep[:, None, None]
+
+    if do_fill_holes:
+        m = jax.vmap(fill_holes)(m)
+    if do_smooth:
+        m = close_open_smooth(m)
+    if do_remove_overlaps:
+        order = jnp.argsort(-jnp.where(keep, scores, -jnp.inf), stable=True)
+        m = remove_overlaps(m, order.astype(jnp.int32))
+    if drop_fragmented:
+        n_comp = jax.vmap(count_components)(m)
+        keep &= n_comp == 1
+        m = m & keep[:, None, None]
+
+    keep &= m.sum(axis=(1, 2)) >= min_pixels
+    m = m & keep[:, None, None]
+    return m, keep
