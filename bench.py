@@ -1,0 +1,83 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Metric (BASELINE.json): Mask R-CNN R50-FPN inference images/sec/chip at the
+reference workload shape (shortest-edge-800 → static 1024×1344 canvas),
+including the full on-device pipeline: dynamic-scale resize → backbone/FPN →
+RPN → RoIAlign → heads → NMS → mask paste → mask-cleanup morphology.
+
+``vs_baseline`` compares against Torchvision-CPU Mask R-CNN R50-FPN
+single-image inference — torchvision is not installed here, so the baseline
+is the widely reproduced ~2.5 s/image (0.4 img/s) figure for R50-FPN Mask
+R-CNN at 800-px shortest edge on server CPUs (the reference's own inference
+path, nn_inference.py:321, before its CPU mask post-processing).  Override
+with env UWCV_BASELINE_IPS.
+
+Env knobs: UWCV_BENCH_IMAGES (default 32), UWCV_BENCH_BATCH (default 8),
+UWCV_BENCH_DEPTH (default 50).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uwcv_tpu.config import Config
+    from uwcv_tpu.engine.predictor import Predictor
+    from uwcv_tpu.models.rcnn import MaskRCNN
+
+    n_images = int(os.environ.get("UWCV_BENCH_IMAGES", "32"))
+    batch = int(os.environ.get("UWCV_BENCH_BATCH", "8"))
+    depth = int(os.environ.get("UWCV_BENCH_DEPTH", "50"))
+    baseline_ips = float(os.environ.get("UWCV_BASELINE_IPS", "0.4"))
+
+    cfg = Config()
+    cfg.model.depth = depth
+
+    h, w = cfg.input.pad_size_test
+    model = MaskRCNN(cfg.model)
+    init_img = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(0), init_img,
+                        method=MaskRCNN.inference)
+    predictor = Predictor(cfg, params)
+
+    # reference-style inputs: 1024×1280 micrograph-sized RGB images
+    rng = np.random.default_rng(0)
+    images = [rng.integers(0, 255, (1024, 1280, 3)).astype(np.uint8)
+              for _ in range(batch)]
+
+    # warmup / compile
+    predictor.predict_batch(images)
+
+    profile_dir = os.environ.get("UWCV_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    n_batches = max(n_images // batch, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        out = predictor.predict_batch(images)
+    jax.block_until_ready(out[-1].boxes)
+    dt = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+    total = n_batches * batch
+    ips = total / dt
+    print(json.dumps({
+        "metric": f"maskrcnn_r{depth}_fpn_inference_images_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / baseline_ips, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

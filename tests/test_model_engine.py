@@ -1,0 +1,174 @@
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uwcv_tpu.config import Config, ModelConfig
+
+
+def _tiny_model_cfg():
+    return ModelConfig(
+        depth=26, dtype="float32",
+        rpn_pre_nms_topk_test=50, rpn_post_nms_topk_test=20,
+        rpn_pre_nms_topk_train=50, rpn_post_nms_topk_train=20,
+        rpn_batch_size_per_image=16, roi_batch_size_per_image=8,
+        detections_per_image=5, roi_score_thresh_test=0.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_params():
+    from uwcv_tpu.models.rcnn import MaskRCNN
+
+    cfg = _tiny_model_cfg()
+    model = MaskRCNN(cfg)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.key(0), imgs, method=MaskRCNN.inference)
+    return cfg, model, params
+
+
+def test_inference_shapes(tiny_model_and_params):
+    from uwcv_tpu.models.rcnn import MaskRCNN
+
+    cfg, model, params = tiny_model_and_params
+    imgs = jnp.ones((2, 64, 64, 3), jnp.float32) * 127
+    dets, masks = model.apply(params, imgs, method=MaskRCNN.inference)
+    assert dets.boxes.shape == (2, 5, 4)
+    assert dets.scores.shape == (2, 5)
+    assert dets.classes.shape == (2, 5)
+    assert masks.shape == (2, 5, 28, 28)
+    b = np.asarray(dets.boxes)
+    assert (b >= 0).all() and (b[..., [0, 2]] <= 64).all()
+    assert np.isfinite(np.asarray(dets.scores)).all()
+
+
+def test_train_forward_losses(tiny_model_and_params):
+    from uwcv_tpu.models.rcnn import MaskRCNN
+
+    cfg, model, params = tiny_model_and_params
+    imgs = jnp.ones((1, 64, 64, 3), jnp.float32) * 100
+    n = 4
+    gt_boxes = jnp.tile(jnp.array([[8., 8., 40., 40.]]), (1, n, 1))
+    gt_classes = jnp.zeros((1, n), jnp.int32)
+    gt_masks = jnp.zeros((1, n, 64, 64), bool).at[:, :, 10:38, 10:38].set(True)
+    gt_valid = jnp.ones((1, n), bool).at[0, 2:].set(False)
+    losses = model.apply(params, imgs, gt_boxes, gt_classes, gt_masks,
+                         gt_valid, jax.random.key(0),
+                         method=MaskRCNN.forward_train)
+    assert set(losses) == {"rpn_cls", "rpn_loc", "cls", "box_reg", "mask"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+        assert float(v) >= 0, (k, v)
+
+
+def test_trainable_mask_freezes_bn_and_stem(tiny_model_and_params):
+    from uwcv_tpu.engine.trainer import _trainable_mask
+
+    _, _, params = tiny_model_and_params
+    mask = _trainable_mask(params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    froze_bn = froze_stem = froze_res2 = trained_head = False
+    for path, trainable in flat:
+        joined = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "frozen_bn" in joined:
+            assert not trainable, joined
+            froze_bn = True
+        elif "stem_" in joined:
+            assert not trainable, joined
+            froze_stem = True
+        elif "res2_block" in joined:
+            assert not trainable, joined
+            froze_res2 = True
+        if "cls_score" in joined:
+            assert trainable
+            trained_head = True
+    assert froze_bn and froze_stem and froze_res2 and trained_head
+
+
+def test_optimizer_respects_mask(tiny_model_and_params):
+    import optax
+
+    from uwcv_tpu.engine.trainer import make_optimizer
+
+    cfg_m, model, params = tiny_model_and_params
+    cfg = Config()
+    cfg.model = cfg_m
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    for path, u in flat:
+        joined = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "frozen_bn" in joined or "stem_" in joined:
+            assert float(jnp.abs(u).max()) == 0.0, joined
+        if "cls_score" in joined and joined.endswith("kernel"):
+            assert float(jnp.abs(u).max()) > 0.0, joined
+
+
+def test_torch_weight_import(tmp_path, tiny_model_and_params):
+    torch = pytest.importorskip("torch")
+    from uwcv_tpu.engine.checkpoint import import_torch_weights
+
+    cfg, model, params = tiny_model_and_params
+    # synthetic torchvision-style state dict for the R26 trunk
+    sd = {}
+    rng = np.random.default_rng(0)
+
+    def t(shape):
+        return torch.from_numpy(rng.normal(size=shape).astype(np.float32))
+
+    sd["conv1.weight"] = t((64, 3, 7, 7))
+    for nm in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{nm}"] = t((64,))
+    channels = [(64, 256), (128, 512), (256, 1024), (512, 2048)]
+    in_c = 64
+    for stage, (mid, out) in enumerate(channels, start=1):
+        pre = f"layer{stage}.0"
+        sd[f"{pre}.conv1.weight"] = t((mid, in_c, 1, 1))
+        sd[f"{pre}.conv2.weight"] = t((mid, mid, 3, 3))
+        sd[f"{pre}.conv3.weight"] = t((out, mid, 1, 1))
+        sd[f"{pre}.downsample.0.weight"] = t((out, in_c, 1, 1))
+        for bn in ("bn1", "bn2", "bn3"):
+            c = mid if bn != "bn3" else out
+            for nm in ("weight", "bias", "running_mean", "running_var"):
+                sd[f"{pre}.{bn}.{nm}"] = t((c,))
+        for nm in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{pre}.downsample.1.{nm}"] = t((out,))
+        in_c = out
+    path = tmp_path / "weights.pth"
+    torch.save(sd, str(path))
+
+    loaded = import_torch_weights(str(path), params, cfg)
+    # conv kernel transposed correctly
+    ours = loaded["params"]["backbone"]["stem_conv"]["kernel"]
+    want = np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-6)
+    # bn folded: scale = gamma/sqrt(var+eps)
+    g = sd["bn1.weight"].numpy()
+    v = sd["bn1.running_var"].numpy()
+    mz = sd["bn1.running_mean"].numpy()
+    b = sd["bn1.bias"].numpy()
+    scale = np.asarray(loaded["params"]["backbone"]["stem_bn"]
+                       ["frozen_bn_scale"])
+    bias = np.asarray(loaded["params"]["backbone"]["stem_bn"]
+                      ["frozen_bn_bias"])
+    np.testing.assert_allclose(scale, g / np.sqrt(v + 1e-5), rtol=1e-5)
+    np.testing.assert_allclose(bias, b - mz * scale, rtol=1e-4, atol=1e-5)
+    # head params untouched (not in the torch dict)
+    a = loaded["params"]["box_head"]["cls_score"]["kernel"]
+    b2 = params["params"]["box_head"]["cls_score"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
+def test_import_torch_weights_no_match_raises(tmp_path, tiny_model_and_params):
+    torch = pytest.importorskip("torch")
+    from uwcv_tpu.engine.checkpoint import import_torch_weights
+
+    cfg, _, params = tiny_model_and_params
+    path = tmp_path / "bad.pth"
+    torch.save({"unrelated.weight": torch.zeros(3)}, str(path))
+    with pytest.raises(ValueError, match="no weights matched"):
+        import_torch_weights(str(path), params, cfg)

@@ -1,0 +1,50 @@
+"""Pallas kernels in interpret mode vs the XLA reference implementations."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uwcv_tpu.ops.nms import NEG_INF, nms_mask
+from uwcv_tpu.ops.pallas.nms_kernel import nms_fixpoint_pallas
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_nms_matches_xla(seed):
+    rng = np.random.default_rng(seed)
+    n = 128
+    centers = rng.uniform(20, 200, (n, 2))
+    sizes = rng.uniform(10, 60, (n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2],
+                           axis=1).astype(np.float32)
+    scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    scores[-16:] = NEG_INF
+
+    order = np.argsort(-scores, kind="stable")
+    boxes_sorted = jnp.asarray(boxes[order])
+    valid = jnp.asarray(scores[order] > NEG_INF / 2)
+
+    keep_pallas = np.asarray(nms_fixpoint_pallas(
+        boxes_sorted, valid, 0.5, interpret=True))
+    keep_xla = np.asarray(
+        nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))[order]
+    np.testing.assert_array_equal(keep_pallas, keep_xla)
+
+
+def test_pallas_nms_all_disjoint():
+    n = 8
+    boxes = jnp.asarray(
+        [[i * 100.0, 0, i * 100 + 50, 50] for i in range(n)], jnp.float32)
+    valid = jnp.ones((n,), bool)
+    keep = np.asarray(nms_fixpoint_pallas(boxes, valid, 0.5, interpret=True))
+    assert keep.all()
+
+
+def test_pallas_nms_chain_suppression():
+    # A overlaps B, B overlaps C, A∩C small: greedy keeps A and C.
+    boxes = jnp.asarray([[0, 0, 10, 10], [6, 0, 16, 10], [12, 0, 22, 10]],
+                        jnp.float32)
+    valid = jnp.ones((3,), bool)
+    keep = np.asarray(nms_fixpoint_pallas(boxes, valid, 0.2, interpret=True))
+    assert list(keep) == [True, False, True]

@@ -1,0 +1,74 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §2c, §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uwcv_tpu.config import ParallelConfig
+from uwcv_tpu.parallel.mesh import (
+    batch_sharding,
+    build_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+def test_mesh_shape_default():
+    mesh = build_mesh(ParallelConfig())
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+
+
+def test_mesh_model_axis():
+    mesh = build_mesh(ParallelConfig(mesh_shape=(-1, 2)))
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = build_mesh(ParallelConfig())
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(8, 4)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec[0] == "data"
+    # each device holds 1 row
+    shards = sharded["x"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (1, 4)
+
+
+def test_replicated_params():
+    mesh = build_mesh(ParallelConfig())
+    params = {"w": jnp.ones((4, 4))}
+    rep = replicate(params, mesh)
+    assert rep["w"].sharding.is_fully_replicated
+
+
+def test_data_parallel_gradient_psum_semantics():
+    """jit with sharded batch + replicated params must produce the same grads
+    as the single-device computation over the full batch."""
+    mesh = build_mesh(ParallelConfig())
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(4, 2)),
+                    jnp.float32)
+    x = np.random.default_rng(1).normal(size=(8, 4)).astype(np.float32)
+    y = np.random.default_rng(2).normal(size=(8, 2)).astype(np.float32)
+
+    def loss(w, x, y):
+        return jnp.mean((x @ w - y) ** 2)
+
+    g_single = jax.grad(loss)(w, jnp.asarray(x), jnp.asarray(y))
+
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    wr = replicate(w, mesh)
+    g_sharded = jax.jit(jax.grad(loss))(wr, xs, ys)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multichip validation path must compile + run."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

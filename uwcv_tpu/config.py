@@ -59,6 +59,11 @@ class ModelConfig:
     roi_score_thresh_test: float = 0.80   # nn_inference.py:226 (0.45 in backup_main.py:247)
     roi_nms_thresh_test: float = 0.5
     detections_per_image: int = 100
+    # NMS candidate cap before the greedy loop: the R×C score matrix has
+    # rpn_post_nms_topk·num_classes entries (4000 for the reference config);
+    # only the top few hundred can survive, so a top_k prefilter bounds the
+    # sequential suppression depth without changing results.
+    nms_candidates_test: int = 1024
     roi_bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     pooler_resolution_box: int = 7
     pooler_resolution_mask: int = 14
@@ -108,7 +113,11 @@ class SolverConfig:
     gamma: float = 0.1
     momentum: float = 0.9
     weight_decay: float = 1.0e-4
-    clip_grad_norm: float = 0.0     # 0 = off (reference has no clipping enabled)
+    # Global-norm gradient clipping.  The reference leaves Detectron2's
+    # clipping off; we default it on (10.0) — detection losses on padded
+    # static batches can spike on pathological samples and clipping costs
+    # nothing at this scale.  Set 0 to disable.
+    clip_grad_norm: float = 10.0
     checkpoint_period: int = 500
     log_period: int = 20
     seed: int = 0
@@ -134,8 +143,11 @@ class PostprocessConfig:
 
     score_floor: float = 0.5            # nn_inference.py:272-275 intent
     min_mask_pixels: int = 2            # min_crys_size, nn_inference.py:265
-    # per-class score thresholds / min pixel counts. The reference ships only 3
-    # entries for 4 classes (nn_inference.py:188-189) — a bug; we extend to 4.
+    # per-class score thresholds / min pixel counts (reference C9 `get_masks`,
+    # nn_inference.py:188-219). The reference ships only 3 entries for 4
+    # classes (nn_inference.py:188-189) — a bug; we extend to 4.  Off by
+    # default like the reference (get_masks is never called in its main flow).
+    use_class_filters: bool = False
     class_thresholds: Tuple[float, ...] = (0.18, 0.35, 0.58, 0.58)
     class_min_pixels: Tuple[int, ...] = (75, 150, 75, 75)
     fill_holes: bool = True

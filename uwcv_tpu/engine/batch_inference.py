@@ -1,0 +1,210 @@
+"""Batch inference driver + measurement sweep (SURVEY.md §3.2-3.3, C11, C15).
+
+The reference's nn_inference.py flow — folder of images → predictor → mask
+cleanup → RLE CSV, then a per-class measurement sweep that re-runs inference
+3× per image per class (12 forwards/image, SURVEY.md §3.3).  Here each image
+is inferred ONCE; the same padded Instances feed RLE export, counting,
+per-class measurement, and visualization.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from uwcv_tpu.config import Config
+from uwcv_tpu.data.classes import ClassRegistry
+from uwcv_tpu.data.loader import list_inference_images, load_image_rgb
+from uwcv_tpu.engine.predictor import Predictor
+from uwcv_tpu.measure.reports import MeasurementReport
+from uwcv_tpu.measure.rle import rle_encoding
+from uwcv_tpu.structures.instances import Instances
+
+
+def resize_masks_to_original(inst_np: Dict[str, np.ndarray],
+                             orig_hw: Tuple[int, int]) -> Dict[str, np.ndarray]:
+    """Predicted masks live in the resized frame; the reference's artifacts
+    (RLE CSV, contour measurements) are in original image pixels — nearest
+    upsample back (host, cheap: bool gather)."""
+    masks = inst_np.get("masks")
+    if masks is None or len(masks) == 0:
+        return inst_np
+    mh, mw = masks.shape[1:]
+    oh, ow = orig_hw
+    if (mh, mw) == (oh, ow):
+        return inst_np
+    ys = np.clip((np.arange(oh) * mh / oh).astype(np.int64), 0, mh - 1)
+    xs = np.clip((np.arange(ow) * mw / ow).astype(np.int64), 0, mw - 1)
+    out = dict(inst_np)
+    out["masks"] = masks[:, ys][:, :, xs]
+    return out
+
+
+def apply_class_filters(
+    inst_np: Dict[str, np.ndarray],
+    thresholds: Sequence[float],
+    min_pixels: Sequence[int],
+) -> Dict[str, np.ndarray]:
+    """Per-class score threshold + minimum mask size (reference C9
+    ``get_masks``, nn_inference.py:204-219): instance kept if
+    score ≥ thresholds[class] and mask pixel count ≥ min_pixels[class].
+    Classes beyond the configured lists pass unfiltered."""
+    classes = inst_np["classes"]
+    keep = np.ones(len(classes), bool)
+    thr = np.asarray(thresholds, float)
+    mpx = np.asarray(min_pixels, float)
+    in_range = classes < len(thr)
+    keep[in_range] &= inst_np["scores"][in_range] >= thr[classes[in_range]]
+    masks = inst_np.get("masks")
+    if masks is not None and len(masks):
+        sizes = masks.reshape(len(masks), -1).sum(axis=1)
+        in_range_m = classes < len(mpx)
+        keep[in_range_m] &= sizes[in_range_m] >= mpx[classes[in_range_m]]
+    out = {k: (v[keep] if isinstance(v, np.ndarray) and len(v) == len(keep)
+               else v) for k, v in inst_np.items()}
+    return out
+
+
+def run_batch_inference(
+    cfg: Config,
+    predictor: Predictor,
+    image_dir: Optional[str] = None,
+    batch_size: int = 8,
+    csv_name: str = "R50_flip_.csv",
+    registry: Optional[ClassRegistry] = None,
+    with_measurements: bool = True,
+    with_plots: bool = False,
+    progress=print,
+) -> Dict[str, object]:
+    """Folder → predictions → ./output/<csv_name> RLE CSV (+ measurement
+    artifacts).  Returns {"csv": path, "report": MeasurementReport,
+    "num_images": int, "predictions": {path: instances_np}}.
+    """
+    image_dir = image_dir or cfg.data.inference_dir
+    registry = registry or ClassRegistry.load(cfg.data.classes_csv)
+    paths = list_inference_images(image_dir, cfg.data.image_ext)
+    if not paths:
+        raise FileNotFoundError(f"no images found under {image_dir}")
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    report = MeasurementReport(registry, cfg.measure, cfg.output_dir)
+    img_ids: List[str] = []
+    encodings: List[str] = []
+    predictions: Dict[str, Dict[str, np.ndarray]] = {}
+
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start:start + batch_size]
+        images = [load_image_rgb(p) for p in chunk]
+        instances = predictor.predict_batch(images)
+        for path, img, inst in zip(chunk, images, instances):
+            inst_np = inst.to_numpy()
+            inst_np = resize_masks_to_original(inst_np, img.shape[:2])
+            if cfg.postprocess.use_class_filters:
+                inst_np = apply_class_filters(
+                    inst_np, cfg.postprocess.class_thresholds,
+                    cfg.postprocess.class_min_pixels)
+            predictions[path] = inst_np
+            name = os.path.basename(path)
+            masks = inst_np.get("masks")
+            n = 0 if masks is None else len(masks)
+            # one CSV row per instance mask (nn_inference.py:330-332)
+            for i in range(n):
+                rle = rle_encoding(masks[i])
+                if rle:
+                    img_ids.append(name)
+                    encodings.append(" ".join(str(v) for v in rle))
+            if with_measurements:
+                report.add_image(inst_np)
+            progress(f"{name}: {n} instances")
+
+    csv_path = os.path.join(cfg.output_dir, csv_name)
+    pd.DataFrame({"ImageId": img_ids, "EncodedPixels": encodings}).to_csv(
+        csv_path, index=False)
+
+    out: Dict[str, object] = {
+        "csv": csv_path,
+        "num_images": len(paths),
+        "predictions": predictions,
+        "report": None,
+    }
+    if with_measurements:
+        report.write_shape_descriptor_csv()
+        report.write_results_csvs()
+        if with_plots:
+            report.write_distribution_plots()
+        progress(f"class totals: {report.summary()}")
+        out["report"] = report
+    return out
+
+
+def save_gt_visualizations(
+    dataset_dicts: Sequence[Dict],
+    registry: ClassRegistry,
+    output_dir: str,
+    max_images: int = 5,
+    alpha: float = 0.4,
+) -> List[str]:
+    """Ground-truth overlays of dataset dicts (the reference's random-sample
+    GT gallery, COLAB_PORT.py:167-174) — rasterizes the annotation polygons
+    and blends class colors."""
+    from PIL import Image
+
+    from uwcv_tpu.data.rasterize import polygons_to_mask
+
+    os.makedirs(output_dir, exist_ok=True)
+    out_paths = []
+    for rec in list(dataset_dicts)[:max_images]:
+        img = load_image_rgb(rec["file_name"]).astype(np.float32)
+        h, w = img.shape[:2]
+        for ann in rec.get("annotations", []):
+            color = np.asarray(
+                registry.colors[int(ann["category_id"]) %
+                                len(registry.colors)], np.float32)
+            mask = polygons_to_mask(ann["segmentation"], h, w)
+            img[mask] = (1 - alpha) * img[mask] + alpha * color
+        name = os.path.splitext(os.path.basename(rec["file_name"]))[0]
+        out = os.path.join(output_dir, f"{name}_gt.png")
+        Image.fromarray(img.clip(0, 255).astype(np.uint8)).save(out)
+        out_paths.append(out)
+    return out_paths
+
+
+def save_visualizations(
+    predictions: Dict[str, Dict[str, np.ndarray]],
+    registry: ClassRegistry,
+    output_dir: str,
+    alpha: float = 0.45,
+) -> List[str]:
+    """Instance overlays (SURVEY.md C12 — the reference's Visualizer path).
+
+    Blends per-class colors over the image and draws box outlines; pure
+    numpy + PIL, no Detectron2.
+    """
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    out_paths = []
+    for path, inst in predictions.items():
+        img = load_image_rgb(path).astype(np.float32)
+        masks = inst.get("masks")
+        if masks is not None:
+            for mask, cls in zip(masks, inst["classes"]):
+                color = np.asarray(registry.colors[int(cls) %
+                                                   len(registry.colors)],
+                                   np.float32)
+                img[mask] = (1 - alpha) * img[mask] + alpha * color
+        for box, cls in zip(inst["boxes"], inst["classes"]):
+            color = registry.colors[int(cls) % len(registry.colors)]
+            x1, y1, x2, y2 = [int(round(v)) for v in box]
+            x1, x2 = np.clip([x1, x2], 0, img.shape[1] - 1)
+            y1, y2 = np.clip([y1, y2], 0, img.shape[0] - 1)
+            img[y1:y2 + 1, [x1, x2]] = color
+            img[[y1, y2], x1:x2 + 1] = color
+        name = os.path.splitext(os.path.basename(path))[0] + "_pred.png"
+        out = os.path.join(output_dir, name)
+        Image.fromarray(img.clip(0, 255).astype(np.uint8)).save(out)
+        out_paths.append(out)
+    return out_paths

@@ -22,7 +22,7 @@ from uwcv_tpu.config import Config
 from uwcv_tpu.data.loader import load_image_rgb
 from uwcv_tpu.models.rcnn import MaskRCNN
 from uwcv_tpu.ops.mask_paste import paste_masks
-from uwcv_tpu.ops.morphology import postprocess_masks
+from uwcv_tpu.ops.morphology import clean_head_masks, remove_overlaps
 from uwcv_tpu.structures.instances import Instances
 from uwcv_tpu.utils.image import pad_to_canvas, shortest_edge_scale
 
@@ -73,21 +73,33 @@ class Predictor:
 
         dets, mask_probs = self.model.apply(
             self.params, resized, method=MaskRCNN.inference)
+        if mask_probs is None:  # box-only (Faster R-CNN config, mask_on=False)
+            return dets, None, dets.valid
 
         def paste_one(det, probs, out_size):
-            masks = paste_masks(probs, det.boxes, (self.pad_h, self.pad_w))
-            masks &= det.valid[:, None, None]
+            pp = cfg.postprocess
             if self.mask_postprocess:
-                pp = cfg.postprocess
-                masks, keep = postprocess_masks(
-                    masks, det.scores, det.valid,
-                    min_pixels=pp.min_mask_pixels,
-                    score_floor=pp.score_floor,
+                # topology cleanup at head resolution (see clean_head_masks
+                # docstring for why this is the TPU-correct placement)
+                cleaned, single = clean_head_masks(
+                    probs, 0.5,
                     do_fill_holes=pp.fill_holes,
                     do_smooth=pp.smooth,
-                    do_remove_overlaps=pp.remove_overlaps,
                     drop_fragmented=pp.drop_fragmented)
+                masks = paste_masks(cleaned.astype(jnp.float32), det.boxes,
+                                    (self.pad_h, self.pad_w))
+                keep = det.valid & single
+                keep &= det.scores >= pp.score_floor
+                if pp.remove_overlaps:
+                    order = jnp.argsort(
+                        -jnp.where(keep, det.scores, -jnp.inf), stable=True)
+                    masks = remove_overlaps(masks, order.astype(jnp.int32))
+                keep &= masks.sum(axis=(1, 2)) >= pp.min_mask_pixels
+                masks &= keep[:, None, None]
             else:
+                masks = paste_masks(probs, det.boxes,
+                                    (self.pad_h, self.pad_w))
+                masks &= det.valid[:, None, None]
                 keep = det.valid
             return masks, keep
 
@@ -135,7 +147,7 @@ class Predictor:
                 scores=dets.scores[i],
                 classes=dets.classes[i],
                 valid=dets.valid[i] & keep[i],
-                masks=masks[i],
+                masks=None if masks is None else masks[i],
                 image_size=(oh, ow),
             )
             results.append(inst)

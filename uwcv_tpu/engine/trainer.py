@@ -70,8 +70,14 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
         chain.insert(0, optax.add_decayed_weights(cfg.solver.weight_decay))
     chain.append(optax.scale_by_learning_rate(sched))
     tx = optax.chain(*chain)
+    # multi_transform + set_to_zero, NOT optax.masked: masked() passes the
+    # raw gradient through untouched for mask=False leaves, which would
+    # *update* frozen params; set_to_zero hard-freezes them.
     mask = _trainable_mask(params)
-    return optax.masked(tx, mask)
+    labels = jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", mask)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
 def make_train_step(model: MaskRCNN, cfg: Config, tx):

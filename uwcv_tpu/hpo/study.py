@@ -1,0 +1,324 @@
+"""Hyperparameter optimization with chip-parallel trials (SURVEY.md §2c).
+
+The reference *declares* Optuna HPO but never implements it (README.md:5 "DO
+OPTUNA OPTIMIZATION" banner nn_train.py:194) — BASELINE.json config #5 makes
+it a build target: "Optuna HPO sweep (LR, anchor sizes, ROI batch) with
+trials parallelized across TPU chips".
+
+Optuna is not installed in this environment, so this module ships its own
+engine with an optuna-shaped API (``create_study``, ``Trial.suggest_*``,
+``study.optimize``) and uses real optuna transparently when available:
+
+- sampler: random warmup then a TPE-style sampler (top-γ/bottom split,
+  kernel-density ratio argmax over candidates) — the same algorithm family
+  optuna defaults to;
+- trial parallelism: ``jax.devices()`` is partitioned into ``n_parallel``
+  groups; each trial's training runs on its own single-chip (or sub-mesh)
+  ``jax.sharding.Mesh``, dispatched from a thread pool — XLA executes the
+  per-device programs concurrently (8 single-chip trials on a v5e-8).
+"""
+
+from __future__ import annotations
+
+import copy
+import math
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # pragma: no cover - optional
+    import optuna as _optuna
+    HAS_OPTUNA = True
+except ImportError:
+    _optuna = None
+    HAS_OPTUNA = False
+
+
+# ---------------------------------------------------------------------------
+# Native engine (optuna-shaped)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Distribution:
+    kind: str                    # "float" | "int" | "categorical"
+    low: float = 0.0
+    high: float = 1.0
+    log: bool = False
+    choices: tuple = ()
+
+
+@dataclass
+class FrozenTrial:
+    number: int
+    params: Dict[str, Any] = field(default_factory=dict)
+    value: Optional[float] = None
+    state: str = "RUNNING"       # RUNNING | COMPLETE | PRUNED | FAIL
+
+
+class Trial:
+    def __init__(self, study: "Study", frozen: FrozenTrial):
+        self._study = study
+        self._frozen = frozen
+
+    @property
+    def number(self) -> int:
+        return self._frozen.number
+
+    @property
+    def params(self) -> Dict[str, Any]:
+        return dict(self._frozen.params)
+
+    def suggest_float(self, name, low, high, log=False):
+        d = _Distribution("float", low, high, log)
+        v = self._study._sample(name, d)
+        self._frozen.params[name] = v
+        return v
+
+    def suggest_int(self, name, low, high, log=False):
+        d = _Distribution("int", low, high, log)
+        v = int(round(self._study._sample(name, d)))
+        v = int(np.clip(v, low, high))
+        self._frozen.params[name] = v
+        return v
+
+    def suggest_categorical(self, name, choices):
+        d = _Distribution("categorical", choices=tuple(choices))
+        v = self._study._sample(name, d)
+        self._frozen.params[name] = v
+        return v
+
+
+class Study:
+    """Minimize or maximize an objective with TPE-lite sampling."""
+
+    def __init__(self, direction: str = "minimize", seed: int = 0,
+                 n_startup_trials: int = 5, gamma: float = 0.25):
+        assert direction in ("minimize", "maximize")
+        self.direction = direction
+        self.trials: List[FrozenTrial] = []
+        self._rng = np.random.default_rng(seed)
+        self._n_startup = n_startup_trials
+        self._gamma = gamma
+        self._lock = threading.Lock()
+        self._dists: Dict[str, _Distribution] = {}
+
+    # ---- sampling ----
+
+    def _completed(self) -> List[FrozenTrial]:
+        return [t for t in self.trials if t.state == "COMPLETE"
+                and t.value is not None and math.isfinite(t.value)]
+
+    def _sample(self, name: str, d: _Distribution):
+        with self._lock:
+            self._dists[name] = d
+            done = [t for t in self._completed() if name in t.params]
+            if len(done) < self._n_startup:
+                return self._random(d)
+            return self._tpe(name, d, done)
+
+    def _random(self, d: _Distribution):
+        if d.kind == "categorical":
+            return d.choices[int(self._rng.integers(len(d.choices)))]
+        if d.log:
+            return float(np.exp(self._rng.uniform(
+                np.log(d.low), np.log(d.high))))
+        return float(self._rng.uniform(d.low, d.high))
+
+    def _tpe(self, name: str, d: _Distribution, done: List[FrozenTrial]):
+        sign = 1.0 if self.direction == "minimize" else -1.0
+        ranked = sorted(done, key=lambda t: sign * t.value)
+        n_good = max(1, int(len(ranked) * self._gamma))
+        good = [t.params[name] for t in ranked[:n_good]]
+        bad = [t.params[name] for t in ranked[n_good:]] or good
+
+        if d.kind == "categorical":
+            # weight by smoothed frequency ratio
+            idx = {c: i for i, c in enumerate(d.choices)}
+            g = np.ones(len(d.choices))
+            b = np.ones(len(d.choices))
+            for v in good:
+                g[idx[v]] += 1
+            for v in bad:
+                b[idx[v]] += 1
+            probs = (g / g.sum()) / (b / b.sum())
+            probs /= probs.sum()
+            return d.choices[int(self._rng.choice(len(d.choices), p=probs))]
+
+        def to_u(v):
+            return math.log(v) if d.log else v
+
+        lo, hi = to_u(d.low), to_u(d.high)
+        width = max((hi - lo) / max(len(good), 1) , 1e-9)
+        good_u = np.asarray([to_u(v) for v in good])
+        bad_u = np.asarray([to_u(v) for v in bad])
+        # candidates from the good KDE + uniform exploration
+        cands = np.concatenate([
+            self._rng.normal(self._rng.choice(good_u), width, 24),
+            self._rng.uniform(lo, hi, 8)])
+        cands = np.clip(cands, lo, hi)
+
+        def kde(x, pts, bw):
+            z = (x[:, None] - pts[None, :]) / bw
+            return np.exp(-0.5 * z * z).sum(axis=1) / (len(pts) * bw) + 1e-12
+
+        score = kde(cands, good_u, width) / kde(cands, bad_u,
+                                                max((hi - lo) / max(len(bad), 1), 1e-9))
+        best = float(cands[int(np.argmax(score))])
+        return float(np.exp(best)) if d.log else best
+
+    # ---- driving ----
+
+    def ask(self) -> Trial:
+        with self._lock:
+            frozen = FrozenTrial(number=len(self.trials))
+            self.trials.append(frozen)
+        return Trial(self, frozen)
+
+    def tell(self, trial: Trial, value: float, state: str = "COMPLETE"):
+        with self._lock:
+            trial._frozen.value = float(value)
+            trial._frozen.state = state
+
+    def optimize(self, objective: Callable[[Trial], float], n_trials: int,
+                 n_parallel: int = 1, catch: bool = True):
+        def run_one(_):
+            t = self.ask()
+            try:
+                v = objective(t)
+                self.tell(t, v)
+            except Exception:
+                if not catch:
+                    raise
+                t._frozen.state = "FAIL"
+
+        if n_parallel <= 1:
+            for i in range(n_trials):
+                run_one(i)
+        else:
+            with ThreadPoolExecutor(max_workers=n_parallel) as pool:
+                list(pool.map(run_one, range(n_trials)))
+        return self
+
+    @property
+    def best_trial(self) -> FrozenTrial:
+        done = self._completed()
+        if not done:
+            raise ValueError("no completed trials")
+        sign = 1.0 if self.direction == "minimize" else -1.0
+        return min(done, key=lambda t: sign * t.value)
+
+    @property
+    def best_params(self) -> Dict[str, Any]:
+        return dict(self.best_trial.params)
+
+    @property
+    def best_value(self) -> float:
+        return float(self.best_trial.value)
+
+
+def create_study(direction: str = "minimize", seed: int = 0,
+                 use_optuna: Optional[bool] = None):
+    """optuna study when installed (and requested), else the native engine."""
+    if (use_optuna is None and HAS_OPTUNA) or use_optuna:
+        return _optuna.create_study(direction=direction)
+    return Study(direction=direction, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# The reference sweep: LR, anchor sizes, ROI batch (BASELINE config #5)
+# ---------------------------------------------------------------------------
+
+def device_groups(n_parallel: int) -> List[list]:
+    import jax
+
+    devs = jax.devices()
+    n_parallel = max(1, min(n_parallel, len(devs)))
+    per = len(devs) // n_parallel
+    return [devs[i * per:(i + 1) * per] for i in range(n_parallel)]
+
+
+def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
+                      max_iter: int = 100, n_parallel: Optional[int] = None,
+                      seed: int = 0) -> Dict[str, Any]:
+    """Search LR / anchor scale / ROI batch; objective = final total loss on
+    a short fine-tune (val mAP once a val split exists is a drop-in swap).
+
+    Trials run one-per-device-group concurrently.
+    """
+    import jax
+
+    from uwcv_tpu.data.catalog import DatasetCatalog, register_superannotate
+    from uwcv_tpu.data.loader import TrainLoader
+    from uwcv_tpu.engine.trainer import Trainer
+    from uwcv_tpu.parallel.mesh import build_mesh
+
+    name = cfg.data.train_dataset
+    if name not in DatasetCatalog.list():
+        import os
+
+        root = data_dir or os.path.join(cfg.data.dataset_root, "Train")
+        register_superannotate(name, root, classes_csv=cfg.data.classes_csv)
+    dicts = DatasetCatalog.get(name)
+
+    groups = device_groups(n_parallel or len(jax.devices()))
+    group_free = list(range(len(groups)))
+    group_lock = threading.Lock()
+
+    def objective(trial: Trial) -> float:
+        lr = trial.suggest_float("base_lr", 1e-5, 1e-2, log=True)
+        anchor_scale = trial.suggest_categorical(
+            "anchor_scale", (0.5, 1.0, 2.0))
+        roi_batch = trial.suggest_categorical("roi_batch", (16, 32, 64))
+
+        tcfg = copy.deepcopy(cfg)
+        tcfg.solver.base_lr = lr
+        tcfg.solver.max_iter = max_iter
+        tcfg.solver.checkpoint_period = 0
+        tcfg.solver.log_period = max(max_iter // 2, 1)
+        tcfg.model.roi_batch_size_per_image = int(roi_batch)
+        tcfg.model.anchor_sizes = tuple(
+            tuple(s * anchor_scale for s in level)
+            for level in cfg.model.anchor_sizes)
+        tcfg.output_dir = f"{cfg.output_dir}/hpo_trial{trial.number}"
+
+        with group_lock:
+            gid = group_free.pop() if group_free else 0
+        try:
+            import numpy as _np
+
+            mesh = build_mesh(tcfg.parallel, devices=groups[gid])
+            trainer = Trainer(tcfg, mesh=mesh)
+            trainer.init_state(jax.random.key(seed + trial.number))
+            loader = TrainLoader(dicts, tcfg, seed=seed + trial.number,
+                                 num_workers=1).start()
+            losses = []
+            try:
+                state = trainer.state
+                batch_iter = iter(loader)
+                rng = jax.random.key(1000 + trial.number)
+                from uwcv_tpu.parallel.mesh import shard_batch
+
+                for i in range(max_iter):
+                    batch = shard_batch(next(batch_iter), mesh)
+                    rng, step_rng = jax.random.split(rng)
+                    state, metrics = trainer._step_fn(state, batch, step_rng)
+                    if i >= max_iter - 5:
+                        losses.append(float(metrics["total_loss"]))
+            finally:
+                loader.stop()
+            value = float(np.mean(losses)) if losses else float("inf")
+            return value if math.isfinite(value) else 1e9
+        finally:
+            with group_lock:
+                group_free.append(gid)
+
+    study = create_study("minimize", seed=seed, use_optuna=False)
+    study.optimize(objective, n_trials=n_trials, n_parallel=len(groups))
+    return {"best_params": study.best_params, "best_value": study.best_value,
+            "n_trials": len(study.trials),
+            "trials": [{"number": t.number, "value": t.value,
+                        "params": t.params, "state": t.state}
+                       for t in study.trials]}

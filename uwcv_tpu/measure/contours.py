@@ -75,7 +75,28 @@ def find_contours(mask: np.ndarray, min_area: float = 0.0) -> List[np.ndarray]:
     left-to-right via imutils, nn_inference.py:408).  ``min_area`` filters
     by *pixel count* of the component (cheap pre-filter; the caller applies
     the exact cv2-style area threshold).
+
+    Uses the native C++ kernels (native/uwcv_native.cpp) when available —
+    union-find labeling + pointer-walk tracing; falls back to scipy label +
+    the Python tracer.
     """
+    from uwcv_tpu.utils import native
+
+    if native.lib() is not None:
+        res = native.label_components(mask)
+        if res is not None:
+            labels_n, n_comp = res
+            contours = []
+            for comp in range(1, n_comp + 1):
+                comp_mask = labels_n == comp
+                if min_area and comp_mask.sum() < min_area:
+                    continue
+                pts = native.moore_trace(labels_n, comp)
+                if pts is not None and len(pts):
+                    contours.append(pts)
+            contours.sort(key=lambda c: c[:, 0].min())
+            return contours
+
     labels, n = ndi.label(mask.astype(np.uint8), structure=np.ones((3, 3)))
     contours = []
     slices = ndi.find_objects(labels)

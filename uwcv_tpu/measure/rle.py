@@ -67,7 +67,16 @@ def rle_encode(mask: np.ndarray) -> str:
 
 def rle_encoding(mask: np.ndarray) -> List[int]:
     """Fortran-order 1-indexed flat [start, length, ...] list — the format
-    the reference writes to its EncodedPixels CSV column."""
+    the reference writes to its EncodedPixels CSV column.
+
+    Dispatches to the native C++ encoder when built (single pass, no
+    transposed copy); numpy fallback otherwise."""
+    if mask.ndim == 2:
+        from uwcv_tpu.utils import native
+
+        res = native.rle_encode_fortran(mask)
+        if res is not None:
+            return res
     flat = np.asarray(mask, np.uint8).flatten(order="F")
     starts, lengths = _runs(flat)
     out: List[int] = []

@@ -36,9 +36,12 @@ class BoxHead(nn.Module):
         h = x.reshape(r, -1).astype(self.dtype)
         h = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc1")(h))
         h = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc2")(h))
+        # Detectron2 init: cls_score N(0, 0.01), bbox_pred N(0, 0.001)
         logits = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.01),
                           name="cls_score")(h).astype(jnp.float32)
         deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.001),
                           name="bbox_pred")(h).astype(jnp.float32)
         return logits, deltas.reshape(r, self.num_classes, 4)
 
@@ -102,14 +105,22 @@ def inference_detections(
     ok &= nonempty_boxes(flat_boxes, 0.0)
     flat_scores = jnp.where(ok, flat_scores, NEG_INF)
 
+    # candidate cap: greedy NMS is sequential in N, so prefilter the R×C
+    # matrix to the top nms_candidates_test scores (result-identical — only
+    # detections_per_image survive anyway)
+    n_cand = min(cfg.nms_candidates_test, flat_scores.shape[0])
+    cand_scores, cand_idx = jax.lax.top_k(flat_scores, n_cand)
+    cand_boxes = flat_boxes[cand_idx]
+    cand_classes = flat_classes[cand_idx]
+
     keep = batched_class_nms_mask(
-        flat_boxes, flat_scores, flat_classes, cfg.roi_nms_thresh_test)
-    masked = jnp.where(keep, flat_scores, NEG_INF)
+        cand_boxes, cand_scores, cand_classes, cfg.roi_nms_thresh_test)
+    masked = jnp.where(keep, cand_scores, NEG_INF)
     top_scores, idx = jax.lax.top_k(masked, cfg.detections_per_image)
     valid = top_scores > NEG_INF / 2
     return Detections(
-        boxes=jnp.where(valid[:, None], flat_boxes[idx], 0.0),
+        boxes=jnp.where(valid[:, None], cand_boxes[idx], 0.0),
         scores=jnp.where(valid, top_scores, 0.0),
-        classes=jnp.where(valid, flat_classes[idx], 0),
+        classes=jnp.where(valid, cand_classes[idx], 0),
         valid=valid,
     )

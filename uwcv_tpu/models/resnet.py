@@ -22,7 +22,9 @@ from typing import Any, Dict, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+# 26 is a minimal 1-block-per-stage variant for tests/smoke runs; 50/101 are
+# the production depths (the reference trains 101, benches 50 — SURVEY.md §6)
+STAGE_BLOCKS = {26: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
 
 class FrozenBN(nn.Module):
@@ -30,16 +32,23 @@ class FrozenBN(nn.Module):
 
     Equivalent to FrozenBatchNorm2d after folding:
         scale = gamma / sqrt(running_var + eps);  bias = beta - mean*scale.
-    Initialized to identity for from-scratch training.
+
+    ``zero_scale`` zero-initializes the scale — used on the LAST BN of each
+    residual branch so every block starts as identity ("zero-init residual");
+    without real batch stats an identity-affine trunk otherwise grows
+    activations with depth and from-scratch smoke training diverges.  Weight
+    imports overwrite these values with folded stats either way.
     """
 
     dtype: Any = jnp.bfloat16
+    zero_scale: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        scale = self.param("frozen_bn_scale", nn.initializers.ones, (c,),
-                           jnp.float32)
+        init = (nn.initializers.zeros if self.zero_scale
+                else nn.initializers.ones)
+        scale = self.param("frozen_bn_scale", init, (c,), jnp.float32)
         bias = self.param("frozen_bn_bias", nn.initializers.zeros, (c,),
                           jnp.float32)
         return x * scale.astype(self.dtype) + bias.astype(self.dtype)
@@ -78,7 +87,7 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv3")(y)
-        y = FrozenBN(self.dtype, name="bn3")(y)
+        y = FrozenBN(self.dtype, zero_scale=True, name="bn3")(y)
         return nn.relu(y + shortcut)
 
 

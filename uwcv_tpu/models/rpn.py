@@ -40,12 +40,14 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray]):
+        # Detectron2 init: all RPN convs N(0, 0.01), zero bias
+        init = nn.initializers.normal(0.01)
         conv = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
-                       name="rpn_conv")
+                       kernel_init=init, name="rpn_conv")
         obj_head = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
-                           name="objectness")
+                           kernel_init=init, name="objectness")
         delta_head = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
-                             name="anchor_deltas")
+                             kernel_init=init, name="anchor_deltas")
         obj, deltas = {}, {}
         for name in LEVELS:
             h = nn.relu(conv(feats[name]))
