@@ -129,31 +129,76 @@ def _linear(sd, key):
     return np.transpose(sd[key]).astype(np.float32)
 
 
-def torchvision_resnet_mapping(depth: int) -> Dict[str, tuple]:
-    """Our flax param path → (torch key prefix, kind) for a torchvision or
-    Detectron2-style ResNet trunk."""
+def torchvision_resnet_mapping(depth: int) -> Dict[str, list]:
+    """Our flax param path → candidate (torch key prefix, kind) list.
+
+    Two naming schemes are recognized per module: torchvision
+    (``layer1.0.conv1`` / ``bn1`` / ``downsample.{0,1}``) and Detectron2
+    (``res2.0.conv1`` with BN at ``<conv>.norm``, ``shortcut``).  The first
+    candidate whose keys exist in the state dict wins.
+    """
     from uwcv_tpu.models.resnet import STAGE_BLOCKS
 
-    mapping: Dict[str, tuple] = {
-        "backbone/stem_conv": ("conv1", "conv"),
-        "backbone/stem_bn": ("bn1", "bn"),
+    mapping: Dict[str, list] = {
+        "backbone/stem_conv": [("conv1", "conv"), ("stem.conv1", "conv")],
+        "backbone/stem_bn": [("bn1", "bn"), ("stem.conv1.norm", "bn")],
     }
     for stage, n_blocks in enumerate(STAGE_BLOCKS[depth]):
         for b in range(n_blocks):
             ours = f"backbone/res{stage + 2}_block{b}"
-            theirs = f"layer{stage + 1}.{b}"
-            mapping[f"{ours}/conv1"] = (f"{theirs}.conv1", "conv")
-            mapping[f"{ours}/bn1"] = (f"{theirs}.bn1", "bn")
-            mapping[f"{ours}/conv2"] = (f"{theirs}.conv2", "conv")
-            mapping[f"{ours}/bn2"] = (f"{theirs}.bn2", "bn")
-            mapping[f"{ours}/conv3"] = (f"{theirs}.conv3", "conv")
-            mapping[f"{ours}/bn3"] = (f"{theirs}.bn3", "bn")
+            tv = f"layer{stage + 1}.{b}"
+            d2 = f"res{stage + 2}.{b}"
+            for i in (1, 2, 3):
+                mapping[f"{ours}/conv{i}"] = [
+                    (f"{tv}.conv{i}", "conv"), (f"{d2}.conv{i}", "conv")]
+                mapping[f"{ours}/bn{i}"] = [
+                    (f"{tv}.bn{i}", "bn"), (f"{d2}.conv{i}.norm", "bn")]
             if b == 0:
-                mapping[f"{ours}/shortcut_conv"] = (
-                    f"{theirs}.downsample.0", "conv")
-                mapping[f"{ours}/shortcut_bn"] = (
-                    f"{theirs}.downsample.1", "bn")
+                mapping[f"{ours}/shortcut_conv"] = [
+                    (f"{tv}.downsample.0", "conv"), (f"{d2}.shortcut", "conv")]
+                mapping[f"{ours}/shortcut_bn"] = [
+                    (f"{tv}.downsample.1", "bn"), (f"{d2}.shortcut.norm", "bn")]
     return mapping
+
+
+def full_model_mapping(depth: int) -> Dict[str, list]:
+    """Trunk mapping + FPN/RPN/heads (Detectron2 checkpoint naming)."""
+    mapping = torchvision_resnet_mapping(depth)
+    for i in range(2, 6):
+        mapping[f"fpn/lateral_c{i}"] = [
+            (f"backbone.fpn_lateral{i}", "conv")]
+        mapping[f"fpn/output_p{i}"] = [
+            (f"backbone.fpn_output{i}", "conv")]
+    mapping["rpn_head/rpn_conv"] = [
+        ("proposal_generator.rpn_head.conv", "conv")]
+    mapping["rpn_head/objectness"] = [
+        ("proposal_generator.rpn_head.objectness_logits", "conv")]
+    mapping["rpn_head/anchor_deltas"] = [
+        ("proposal_generator.rpn_head.anchor_deltas", "conv")]
+    # fc1 consumes the flattened 7x7x256 pool: torch flattens (C,H,W), we
+    # flatten (H,W,C) → dedicated kind permutes the input axis
+    mapping["box_head/fc1"] = [("roi_heads.box_head.fc1", "linear_chw")]
+    mapping["box_head/fc2"] = [("roi_heads.box_head.fc2", "linear")]
+    mapping["box_head/cls_score"] = [
+        ("roi_heads.box_predictor.cls_score", "linear")]
+    mapping["box_head/bbox_pred"] = [
+        ("roi_heads.box_predictor.bbox_pred", "linear")]
+    for i in range(1, 5):
+        mapping[f"mask_head/mask_fcn{i}"] = [
+            (f"roi_heads.mask_head.mask_fcn{i}", "conv")]
+    mapping["mask_head/deconv"] = [("roi_heads.mask_head.deconv", "deconv")]
+    mapping["mask_head/predictor"] = [
+        ("roi_heads.mask_head.predictor", "conv")]
+    return mapping
+
+
+def _linear_chw(sd, key, pool: int = 7):
+    """torch Linear over a CHW-flattened pooled feature → HWC-flattened."""
+    wt = sd[key]                                     # [out, C*P*P]
+    out_dim, in_dim = wt.shape
+    c = in_dim // (pool * pool)
+    w = wt.reshape(out_dim, c, pool, pool).transpose(0, 2, 3, 1)
+    return w.reshape(out_dim, in_dim).T.astype(np.float32)
 
 
 def import_torch_weights(path: str, target_params, cfg: ModelConfig):
@@ -170,7 +215,7 @@ def import_torch_weights(path: str, target_params, cfg: ModelConfig):
         stripped[k] = v
     sd = stripped
 
-    mapping = torchvision_resnet_mapping(cfg.depth)
+    mapping = full_model_mapping(cfg.depth)
 
     flat = jax.tree_util.tree_flatten_with_path(target_params)
     leaves, treedef = flat
@@ -179,17 +224,31 @@ def import_torch_weights(path: str, target_params, cfg: ModelConfig):
     for path_keys, leaf in leaves:
         keys = [getattr(p, "key", str(p)) for p in path_keys]
         joined = "/".join(str(k) for k in keys)
+        is_kernel = joined.endswith("kernel")
+        is_bias = joined.endswith("bias") and "frozen_bn" not in joined
         new = None
-        for ours, (theirs, kind) in mapping.items():
-            if ours in joined:
-                if kind == "conv" and joined.endswith("kernel"):
-                    if f"{theirs}.weight" in sd:
+        for ours, candidates in mapping.items():
+            if ours not in joined:
+                continue
+            for theirs, kind in candidates:
+                if f"{theirs}.weight" not in sd:
+                    continue
+                if kind == "bn":
+                    scale, bias = _fold_bn(sd, theirs)
+                    new = scale if joined.endswith("scale") else bias
+                elif is_kernel:
+                    if kind == "conv":
                         new = _conv(sd, f"{theirs}.weight")
-                elif kind == "bn":
-                    if f"{theirs}.weight" in sd:
-                        scale, bias = _fold_bn(sd, theirs)
-                        new = scale if joined.endswith("scale") else bias
+                    elif kind == "deconv":
+                        new = _deconv(sd, f"{theirs}.weight")
+                    elif kind == "linear":
+                        new = _linear(sd, f"{theirs}.weight")
+                    elif kind == "linear_chw":
+                        new = _linear_chw(sd, f"{theirs}.weight")
+                elif is_bias and f"{theirs}.bias" in sd:
+                    new = sd[f"{theirs}.bias"].astype(np.float32)
                 break
+            break
         if new is not None and new.shape == leaf.shape:
             new_leaves.append(jnp.asarray(new, leaf.dtype))
             n_loaded += 1

@@ -1,18 +1,19 @@
-"""Pallas TPU kernel: fused greedy-NMS fixpoint (SURVEY.md N3).
+"""Pallas TPU kernel: fused greedy NMS (SURVEY.md N3).
 
-The XLA formulation (ops/nms.py) materializes the [N,N] suppression matrix
-in HBM and re-reads it every fixpoint iteration.  This kernel fuses the
-whole pipeline in VMEM:
+Exact sequential greedy NMS in a single kernel: boxes (sorted by score
+descending) live in VMEM (N×4 f32 = 16 KB at N=1000) and a ``fori_loop``
+walks the ranking; each step computes box i's IoU row against all boxes
+*on the fly* (no [N,N] matrix anywhere) and clears suppressed survivors —
+O(N) VPU work per step, O(N²) total, all at VMEM bandwidth with zero
+HBM traffic and zero per-step dispatch overhead.
 
-    boxes (sorted by score) → pairwise IoU → S = (IoU > thr) ∧ upper-tri
-    → iterate k ← valid ∧ (Sᵀk == 0) until fixpoint → keep mask
+Why not the fixpoint matvec here: Mosaic cannot legalize
+``lax.while_loop`` with convergence-dependent trips (scf.yield), and a
+matvec fixpoint needs the [N,N] suppression matrix in VMEM, capping N at
+~1024.  This formulation needs only O(N) memory, so one kernel serves both
+ROI-head NMS (N≈1024) and RPN NMS (N≈5000).
 
-For N ≤ 1024 everything (4 MB IoU f32 + 2 MB S bf16 + workspace) fits in a
-v5e core's ~16 MB VMEM, so the iterations run at VMEM bandwidth with zero
-HBM traffic after the 16 KB box load.  Larger problems (RPN's 5-level
-concat) stay on the XLA path.
-
-The kernel is exact greedy NMS — same fixpoint argument as ops/nms.py.
+The XLA fixpoint in ops/nms.py remains the fallback/oracle path.
 """
 
 from __future__ import annotations
@@ -25,53 +26,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nms_fixpoint_kernel(boxes_ref, valid_ref, keep_ref, *, iou_threshold):
-    boxes = boxes_ref[:]                       # [N, 4] f32 VMEM
-    valid = valid_ref[:]                       # [N, 1] f32 (1.0 = valid)
+def _nms_greedy_kernel(boxes_ref, valid_ref, keep_ref, *, iou_threshold):
+    boxes = boxes_ref[:]                     # [N, 4] f32 VMEM
     n = boxes.shape[0]
 
-    x1 = boxes[:, 0:1]
-    y1 = boxes[:, 1:2]
-    x2 = boxes[:, 2:3]
-    y2 = boxes[:, 3:4]
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)   # [N,1]
+    x1 = boxes[:, 0]
+    y1 = boxes[:, 1]
+    x2 = boxes[:, 2]
+    y2 = boxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)   # [N]
 
-    # pairwise IoU [N, N] — broadcasting column vs row vectors
-    lt_x = jnp.maximum(x1, x1.T)
-    lt_y = jnp.maximum(y1, y1.T)
-    rb_x = jnp.minimum(x2, x2.T)
-    rb_y = jnp.minimum(y2, y2.T)
-    inter = jnp.maximum(rb_x - lt_x, 0.0) * jnp.maximum(rb_y - lt_y, 0.0)
-    union = area + area.T - inter
-    iou = jnp.where(union > 0.0, inter / jnp.maximum(union, 1e-12), 0.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]       # [N]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    upper = rows < cols
-    vpair = (valid * valid.T) > 0.5
-    s_mat = jnp.where((iou > iou_threshold) & upper & vpair,
-                      1.0, 0.0).astype(jnp.bfloat16)             # [N,N]
+    def body(i, k):
+        # row i of the box set, read with a dynamic sublane slice
+        bi = boxes_ref[pl.ds(i, 1), :]                              # [1,4]
+        bx1, by1, bx2, by2 = bi[0, 0], bi[0, 1], bi[0, 2], bi[0, 3]
+        ai = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
 
-    valid_row = valid.T > 0.5                                     # [1,N]
+        inter_w = jnp.maximum(jnp.minimum(bx2, x2) - jnp.maximum(bx1, x1), 0.0)
+        inter_h = jnp.maximum(jnp.minimum(by2, y2) - jnp.maximum(by1, y1), 0.0)
+        inter = inter_w * inter_h
+        union = ai + area - inter
+        iou = jnp.where(union > 0.0, inter / jnp.maximum(union, 1e-12), 0.0)
 
-    def cond(state):
-        _, changed, it = state
-        return jnp.logical_and(changed, it < n)
+        alive = jnp.sum(jnp.where(cols == i, k, 0.0))               # k[i]
+        suppress = ((iou > iou_threshold) & (cols > i)
+                    & (alive > 0.5)).astype(jnp.float32)
+        return k * (1.0 - suppress)
 
-    def body(state):
-        k, _, it = state                                          # k [1,N]
-        suppressed = jnp.dot(k.astype(jnp.bfloat16), s_mat,
-                             preferred_element_type=jnp.float32)  # [1,N]
-        k_new = jnp.logical_and(valid_row, suppressed < 0.5)
-        return k_new, jnp.any(k_new != k), it + 1
-
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (valid_row, jnp.array(True), 0))
-    keep_ref[:] = keep.astype(jnp.float32)
+    k0 = valid_ref[:].reshape(n)                                    # [N] f32
+    keep = jax.lax.fori_loop(0, n, body, k0)
+    keep_ref[:] = keep.reshape(1, n)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
-def nms_fixpoint_pallas(
+def nms_greedy_pallas(
     boxes_sorted: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
@@ -81,7 +71,7 @@ def nms_fixpoint_pallas(
     keep [N] bool (in sorted order)."""
     n = boxes_sorted.shape[0]
     keep = pl.pallas_call(
-        functools.partial(_nms_fixpoint_kernel, iou_threshold=iou_threshold),
+        functools.partial(_nms_greedy_kernel, iou_threshold=iou_threshold),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -90,5 +80,9 @@ def nms_fixpoint_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(boxes_sorted.astype(jnp.float32),
-      valid.astype(jnp.float32).reshape(n, 1))
+      valid.astype(jnp.float32).reshape(1, n))
     return keep[0] > 0.5
+
+
+# kept as the public name used by ops/nms.py
+nms_fixpoint_pallas = nms_greedy_pallas
