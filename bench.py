@@ -25,6 +25,13 @@ import time
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: the full R50 predictor graph takes
+    # minutes to compile through the axon tunnel; cache makes reruns instant
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/uwcv_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -1,0 +1,77 @@
+import os
+
+import numpy as np
+
+from uwcv_tpu.data.classes import ClassRegistry
+from uwcv_tpu.engine.batch_inference import (
+    apply_class_filters,
+    resize_masks_to_original,
+    save_gt_visualizations,
+    save_visualizations,
+)
+
+
+def _inst(n=4, h=32, w=32):
+    rng = np.random.default_rng(0)
+    masks = np.zeros((n, h, w), bool)
+    for i in range(n):
+        masks[i, 4 * i:4 * i + 8, 4:20] = True
+    return {
+        "boxes": np.array([[4, 4 * i, 20, 4 * i + 8] for i in range(n)],
+                          float),
+        "scores": np.array([0.9, 0.5, 0.3, 0.1]),
+        "classes": np.array([0, 1, 2, 3]),
+        "masks": masks,
+    }
+
+
+def test_apply_class_filters_scores():
+    inst = _inst()
+    out = apply_class_filters(inst, thresholds=(0.18, 0.35, 0.58, 0.58),
+                              min_pixels=(1, 1, 1, 1))
+    # class0: 0.9>=0.18 keep; class1: 0.5>=0.35 keep; class2: 0.3<0.58 drop;
+    # class3: 0.1<0.58 drop
+    assert list(out["classes"]) == [0, 1]
+    assert out["masks"].shape[0] == 2
+
+
+def test_apply_class_filters_min_pixels():
+    inst = _inst()
+    out = apply_class_filters(inst, thresholds=(0.0,) * 4,
+                              min_pixels=(1000, 1, 1, 1))
+    assert 0 not in out["classes"]  # 128-px mask < 1000
+
+
+def test_resize_masks_to_original():
+    inst = {"classes": np.array([0]), "scores": np.array([0.9]),
+            "boxes": np.zeros((1, 4)),
+            "masks": np.zeros((1, 16, 16), bool)}
+    inst["masks"][0, :8] = True
+    out = resize_masks_to_original(inst, (32, 48))
+    assert out["masks"].shape == (1, 32, 48)
+    assert out["masks"][0, :16].all() and not out["masks"][0, 16:].any()
+
+
+def test_visualizations(tmp_path):
+    from PIL import Image
+
+    img_path = str(tmp_path / "img.png")
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img_path)
+    reg = ClassRegistry()
+    preds = {img_path: _inst()}
+    paths = save_visualizations(preds, reg, str(tmp_path / "viz"))
+    assert len(paths) == 1 and os.path.exists(paths[0])
+    out = np.asarray(Image.open(paths[0]))
+    assert out.sum() > 0  # something was drawn
+
+    dicts = [{
+        "file_name": img_path, "image_id": 0, "height": 32, "width": 32,
+        "annotations": [{
+            "bbox": [4, 4, 20, 12], "category_id": 3,
+            "segmentation": [[4, 4, 20, 4, 20, 12, 4, 12]],
+        }],
+    }]
+    gt_paths = save_gt_visualizations(dicts, reg, str(tmp_path / "gt"))
+    assert len(gt_paths) == 1 and os.path.exists(gt_paths[0])
+    out = np.asarray(Image.open(gt_paths[0]))
+    assert out.sum() > 0

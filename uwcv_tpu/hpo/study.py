@@ -276,6 +276,10 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
         tcfg = copy.deepcopy(cfg)
         tcfg.solver.base_lr = lr
         tcfg.solver.max_iter = max_iter
+        # the trial's batch must tile its device group's data axis
+        group_size = max(len(g) for g in groups)
+        per = max(1, tcfg.solver.ims_per_batch)
+        tcfg.solver.ims_per_batch = -(-per // group_size) * group_size
         tcfg.solver.checkpoint_period = 0
         tcfg.solver.log_period = max(max_iter // 2, 1)
         tcfg.model.roi_batch_size_per_image = int(roi_batch)
