@@ -48,6 +48,19 @@ def test_unpack_bitmasks_roundtrip():
     np.testing.assert_array_equal(np.asarray(unpacked), masks)
 
 
+def test_pack_bitmasks_matches_numpy_packbits():
+    from uwcv_tpu.data.augment import pack_bitmasks
+
+    rng = np.random.default_rng(1)
+    masks = rng.random((2, 5, 7, 64)) > 0.5
+    dev = np.asarray(pack_bitmasks(jnp.asarray(masks)))
+    host = np.packbits(masks, axis=-1)
+    np.testing.assert_array_equal(dev, host)
+    # and np.unpackbits inverts it
+    np.testing.assert_array_equal(
+        np.unpackbits(dev, axis=-1).astype(bool), masks)
+
+
 def test_augment_sample_shapes_and_determinism():
     cfg = Config()
     size = 64

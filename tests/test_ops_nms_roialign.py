@@ -158,6 +158,24 @@ def test_fpn_level_assignment():
     assert list(lv) == [2, 3, 4, 5, 5, 2]
 
 
+def test_multilevel_windowed_matches_single_level_oracle():
+    # rois assigned to p3 (size 112) and p4 (size 224): windowed multilevel
+    # pooling must equal the exact single-level gather implementation
+    rng = np.random.default_rng(3)
+    feats = {f"p{l}": jnp.asarray(
+        rng.normal(size=(256 >> (l - 2), 256 >> (l - 2), 8)), jnp.float32)
+        for l in range(2, 6)}
+    strides = {f"p{l}": 2 ** l for l in range(2, 6)}
+    rois = jnp.array([[40, 40, 152, 152],      # 112 → p3
+                      [100, 60, 324, 284]],     # 224 → p4
+                     jnp.float32)
+    got = np.asarray(multilevel_roi_align(feats, rois, strides, 7))
+    want_p3 = np.asarray(roi_align_level(feats["p3"], rois[:1], 8, 7))
+    want_p4 = np.asarray(roi_align_level(feats["p4"], rois[1:], 16, 7))
+    np.testing.assert_allclose(got[0], want_p3[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[1], want_p4[0], rtol=1e-4, atol=1e-4)
+
+
 def test_multilevel_roi_align_selects_level():
     # make each level a distinct constant; the output per roi reveals its level
     feats = {f"p{l}": jnp.full((max(1, 64 >> (l - 2)),

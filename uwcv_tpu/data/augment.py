@@ -144,6 +144,19 @@ def augment_batch(batch: Dict[str, jnp.ndarray], key: jax.Array,
     return jax.vmap(lambda s, k: augment_sample(s, k, cfg))(batch, keys)
 
 
+def pack_bitmasks(masks: jnp.ndarray) -> jnp.ndarray:
+    """[..., W] bool → [..., W/8] uint8 (device-side np.packbits, MSB first).
+
+    Used to shrink device→host mask transfers 8× (full-image instance masks
+    dominate D2H traffic on batch inference).  W must be a multiple of 8.
+    """
+    *lead, w = masks.shape
+    assert w % 8 == 0, f"width {w} not a multiple of 8"
+    bits = masks.reshape(*lead, w // 8, 8).astype(jnp.uint8)
+    weights = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
+    return (bits * weights).sum(axis=-1).astype(jnp.uint8)
+
+
 def unpack_bitmasks(packed: jnp.ndarray, width: int) -> jnp.ndarray:
     """[..., W/8] uint8 bit-packed masks → [..., W] bool (device-side).
 

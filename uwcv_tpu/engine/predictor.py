@@ -104,7 +104,11 @@ class Predictor:
             return masks, keep
 
         masks, keep = jax.vmap(paste_one)(dets, mask_probs, out_sizes)
-        return dets, masks, keep
+        # bit-pack for the device→host hop: [B,D,H,W] bool → [B,D,H,W/8]
+        # uint8, an 8× cut of what dominates D2H traffic
+        from uwcv_tpu.data.augment import pack_bitmasks
+
+        return dets, pack_bitmasks(masks), keep
 
     # -------- host API --------
 
@@ -121,11 +125,17 @@ class Predictor:
         out_w = min(int(round(w * scale)), self.pad_w)
         return padded, scale, (out_h, out_w)
 
-    def predict_batch(self, images_rgb: Sequence[np.ndarray]) -> List[Instances]:
-        """Run a batch; input images may have arbitrary (per-image) sizes.
+    def predict_batch_device(self, images_rgb: Sequence[np.ndarray]):
+        """Run a batch, returning DEVICE-resident results (blocked until
+        complete): (Detections, packed_masks [B,D,H,W/8] uint8|None,
+        keep [B,D] bool, scales [B], out_sizes [B,2]).
 
-        Host canvases are grouped to one static size per call (the max over
-        the batch) so each distinct folder shape compiles once.
+        This is the reference ``DefaultPredictor`` contract — it returns GPU
+        tensors and the *caller* pays any host transfer
+        (nn_inference.py:325-327 pulls explicitly).  On remote-attached TPUs
+        the transfer can dwarf compute, so keeping results on device until
+        needed is the performance-critical default for pipelines that chain
+        device work.
         """
         prepped = [self._prepare(im) for im in images_rgb]
         ch = max(p[0].shape[0] for p in prepped)
@@ -135,19 +145,47 @@ class Predictor:
         scales = jnp.asarray([p[1] for p in prepped], jnp.float32)
         out_sizes = jnp.asarray([p[2] for p in prepped], jnp.int32)
 
-        dets, masks, keep = self._jit_run(
+        dets, masks_packed, keep = self._jit_run(
             jnp.asarray(batch), scales, out_sizes)
+        # sync via a tiny (3 KB) host pull: on remote-attached TPUs
+        # block_until_ready can return before execution completes, which
+        # would make timings dispatch-only
+        np.asarray(dets.scores)
+        return dets, masks_packed, keep, [p[1] for p in prepped], \
+            [p[2] for p in prepped]
 
+    def predict_batch(self, images_rgb: Sequence[np.ndarray]) -> List[Instances]:
+        """Run a batch and pull results to host; input images may have
+        arbitrary (per-image) sizes.
+
+        Host canvases are grouped to one static size per call (the max over
+        the batch) so each distinct folder shape compiles once.
+        """
+        dets, masks_packed, keep, scales_list, out_sizes_list = \
+            self.predict_batch_device(images_rgb)
+
+        # single host pull per field (every extra device op here is a
+        # dispatch round-trip on remote-attached TPUs), then C-speed
+        # unpack/slice per image
+        boxes_np = np.asarray(dets.boxes)
+        scores_np = np.asarray(dets.scores)
+        classes_np = np.asarray(dets.classes)
+        valid_np = np.asarray(dets.valid) & np.asarray(keep)
+        masks_np = (None if masks_packed is None
+                    else np.asarray(masks_packed))
         results = []
-        for i, (im, (padded, scale, (oh, ow))) in enumerate(
-                zip(images_rgb, prepped)):
+        for i, (scale, (oh, ow)) in enumerate(
+                zip(scales_list, out_sizes_list)):
+            masks_i = None
+            if masks_np is not None:
+                masks_i = np.unpackbits(masks_np[i], axis=-1).astype(bool)
             # boxes back to original image coordinates
             inst = Instances(
-                boxes=dets.boxes[i] / scale,
-                scores=dets.scores[i],
-                classes=dets.classes[i],
-                valid=dets.valid[i] & keep[i],
-                masks=None if masks is None else masks[i],
+                boxes=boxes_np[i] / scale,
+                scores=scores_np[i],
+                classes=classes_np[i],
+                valid=valid_np[i],
+                masks=masks_i,
                 image_size=(oh, ow),
             )
             results.append(inst)
@@ -166,10 +204,10 @@ def load_predictor(cfg: Config, weights: Optional[str] = None) -> Predictor:
     (nn_inference.py:225)."""
     from uwcv_tpu.engine.checkpoint import load_weights
 
+    from uwcv_tpu.models.rcnn import init_params
+
     model = MaskRCNN(cfg.model)
-    h, w = cfg.input.pad_size_test
-    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-    params = model.init(jax.random.key(0), dummy, method=MaskRCNN.inference)
+    params = init_params(model, jax.random.key(0))
     path = weights or cfg.weights
     if path:
         params = load_weights(path, params, cfg.model)

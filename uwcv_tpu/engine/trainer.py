@@ -126,10 +126,10 @@ class Trainer:
         os.makedirs(cfg.output_dir, exist_ok=True)
 
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        from uwcv_tpu.models.rcnn import init_params
+
         rng = rng if rng is not None else jax.random.key(self.cfg.solver.seed)
-        h, w = self.cfg.input.train_size
-        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-        params = self.model.init(rng, dummy, method=MaskRCNN.inference)
+        params = init_params(self.model, rng)
         self.tx = make_optimizer(self.cfg, params)
         opt_state = self.tx.init(params)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))

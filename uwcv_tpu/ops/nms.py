@@ -75,8 +75,11 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
         return keep & (scores > NEG_INF / 2)
 
     iou = box_iou(boxes_sorted, boxes_sorted)
-    upper = jnp.triu(jnp.ones((n, n), bool), k=1)
-    s_mat = ((iou > iou_threshold) & upper & valid[None, :]
+    # strict upper triangle via iota comparison — NOT jnp.triu(ones), which
+    # constant-folds an n² literal into the HLO (25 MB at RPN scale)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    s_mat = ((iou > iou_threshold) & (rows < cols) & valid[None, :]
              & valid[:, None]).astype(jnp.bfloat16)
 
     def cond(state):

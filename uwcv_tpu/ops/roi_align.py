@@ -44,6 +44,23 @@ def fpn_level_assignment(
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 
+def _interp_matrix(coords: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """[S] continuous coords → [S, dim] bilinear weight rows.
+
+    Each row holds (1-frac) at floor(c) and frac at floor(c)+1, clamped to
+    the border — so interpolation along one axis is a small matmul.
+    """
+    c = jnp.clip(coords, 0.0, dim - 1.0)
+    lo = jnp.floor(c)
+    frac = c - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, dim - 1)
+    cols = jnp.arange(dim)
+    w_lo = (cols[None, :] == lo_i[:, None]) * (1.0 - frac)[:, None]
+    w_hi = (cols[None, :] == hi_i[:, None]) * frac[:, None]
+    return (w_lo + w_hi).astype(jnp.float32)
+
+
 def _sample_grid(rois: jnp.ndarray, stride, output_size: int,
                  samples_per_bin: int):
     """Continuous sample coords in feature space for each roi.
@@ -146,33 +163,83 @@ def multilevel_roi_align(
     canonical_size: float = 224.0,
     canonical_level: int = 4,
     samples_per_bin: int = 2,
+    window: int = 32,
 ) -> jnp.ndarray:
-    """Pool padded rois from their assigned FPN level (single image).
+    """Pool padded rois from their assigned FPN level (single image) —
+    *windowed* formulation.
 
-    features: {"p2": [H2,W2,C], ...} — pooling levels p2..p5.  All levels
-    are flattened into one [ΣHW, C] table; each roi gathers from its own
-    level's slab, so there is no per-level recompute and exactly one gather.
+    TPU gathers of individual C-vectors run ~300 MB/s (measured: 1.9-4.9 s
+    for 1000 rois at production scale), so per-sample-point gathers are a
+    non-starter.  Instead we exploit the FPN level-assignment invariant: a
+    roi spans < 2·canonical/stride ≈ 28 cells on its assigned level (eq. 1
+    clamps size/stride into [14, 28) away from the end levels).  Each roi
+    therefore needs only a ``window``² cell neighborhood:
+
+    1. all levels are padded into one [4, Hmax, Wmax, C] canvas;
+    2. one vmapped ``dynamic_slice`` per roi cuts its [window, window, C]
+       patch (XLA lowers this to an efficient large-slice gather);
+    3. the bilinear interpolation becomes two tiny matmuls per roi
+       ([S,window] weight matrices against the patch) — MXU work.
+
+    Rois clamped at p5 that span more than ``window`` cells sample a
+    truncated neighborhood (coordinates clamp to the window edge) — the same
+    compromise TF's TPU Mask R-CNN makes; everything in [14, 28) is exact.
     """
     names = ["p2", "p3", "p4", "p5"]
     shapes = [features[n].shape for n in names]
     c = shapes[0][-1]
-    flat = jnp.concatenate([features[n].reshape(-1, c) for n in names])
+    dtype = features[names[0]].dtype
+    hmax = max(max(s[0] for s in shapes), window)
+    wmax = max(max(s[1] for s in shapes), window)
 
-    offsets, acc = [], 0
-    for (h, w, _) in shapes:
-        offsets.append(acc)
-        acc += h * w
+    canvas = jnp.stack([
+        jnp.pad(features[n],
+                ((0, hmax - s[0]), (0, wmax - s[1]), (0, 0)))
+        for n, s in zip(names, shapes)
+    ])                                                       # [4,Hmax,Wmax,C]
 
     levels = fpn_level_assignment(
-        rois, 2, 5, canonical_size, canonical_level)        # [R], values 2..5
+        rois, 2, 5, canonical_size, canonical_level)         # [R] in 2..5
     li = levels - 2
-    tbl = lambda vals: jnp.asarray(vals, jnp.float32)[li]    # [R] per-roi
+    tbl = lambda vals: jnp.asarray(vals, jnp.float32)[li]     # [R]
     level_w = tbl([s[1] for s in shapes])
     level_h = tbl([s[0] for s in shapes])
-    base = jnp.asarray(offsets, jnp.int32)[li]
     stride_per_roi = tbl([float(strides[n]) for n in names])
 
     xs, ys = _sample_grid(rois, stride_per_roi, output_size, samples_per_bin)
-    out = _bilinear_gather(flat, xs, ys, level_w, level_h, base,
-                           output_size, samples_per_bin)
-    return out.astype(features[names[0]].dtype)
+    # clamp samples into the level extent (border replication, aligned=True)
+    xs = jnp.clip(xs, 0.0, level_w[:, None] - 1.0)
+    ys = jnp.clip(ys, 0.0, level_h[:, None] - 1.0)
+
+    # window origin: center the sample span, clamp into the level
+    def origin(coords, extent):
+        lo = jnp.floor((coords[:, 0] + coords[:, -1]) / 2.0
+                       - window / 2.0 + 0.5)
+        return jnp.clip(lo, 0.0, jnp.maximum(extent - window, 0.0))
+
+    x0 = origin(xs, level_w)                                  # [R]
+    y0 = origin(ys, level_h)
+    xs_rel = jnp.clip(xs - x0[:, None], 0.0, window - 1.0)    # [R,S]
+    ys_rel = jnp.clip(ys - y0[:, None], 0.0, window - 1.0)
+
+    def slice_one(lvl_idx, oy, ox):
+        return jax.lax.dynamic_slice(
+            canvas, (lvl_idx, oy, ox, 0), (1, window, window, c))[0]
+
+    patches = jax.vmap(slice_one)(
+        li, y0.astype(jnp.int32), x0.astype(jnp.int32))       # [R,win,win,C]
+
+    wy = jax.vmap(partial(_interp_matrix, dim=window))(ys_rel)  # [R,S,win]
+    wx = jax.vmap(partial(_interp_matrix, dim=window))(xs_rel)  # [R,S,win]
+
+    p32 = patches.astype(jnp.float32)
+    rows = jnp.einsum("rsh,rhwc->rswc", wy, p32,
+                      preferred_element_type=jnp.float32)     # [R,S,win,C]
+    samples = jnp.einsum("rtw,rswc->rstc", wx, rows,
+                         preferred_element_type=jnp.float32)  # [R,S,S,C]
+
+    r = rois.shape[0]
+    p = output_size
+    spb = samples_per_bin
+    out = samples.reshape(r, p, spb, p, spb, c).mean(axis=(2, 4))
+    return out.astype(dtype)
