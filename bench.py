@@ -1,4 +1,4 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints ONE JSON line on stdout (progress → stderr).
 
 Metric (BASELINE.json): Mask R-CNN R50-FPN inference images/sec/chip at the
 reference workload shape (shortest-edge-800 → static 1024×1344 canvas),
@@ -12,43 +12,120 @@ R-CNN at 800-px shortest edge on server CPUs (the reference's own inference
 path, nn_inference.py:321, before its CPU mask post-processing).  Override
 with env UWCV_BASELINE_IPS.
 
+Robustness layout (a driver runs this under ``timeout``):
+- The measurement runs in a worker THREAD; the main thread only polls it.
+  Remote-TPU compiles block in C++ for minutes, during which Python signal
+  handlers cannot run — keeping the main thread in pure-Python sleep means
+  SIGTERM/SIGINT always reach us and we emit the best-so-far JSON, exit 0.
+- A tiny force-cached jit probe runs first; if loading it raises the libtpu
+  "version mismatch" error (stale AOT executables in the persistent cache
+  after a runtime upgrade), the cache dir is wiped and the probe retried.
+- The first timed batch updates the JSON immediately (first light); longer
+  runs only improve it.
+
 Env knobs: UWCV_BENCH_IMAGES (default 32), UWCV_BENCH_BATCH (default 8),
-UWCV_BENCH_DEPTH (default 50).
+UWCV_BENCH_DEPTH (default 50), UWCV_BENCH_BUDGET_S (self-imposed wall-clock
+budget, default 0 = none), UWCV_BENCH_TRAIN=1 (also time the train step,
+reported as extra JSON fields), UWCV_BASELINE_IPS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import signal
+import sys
+import threading
 import time
 
+CACHE_DIR = os.path.expanduser("~/.cache/uwcv_jax_cache")
 
-def main() -> None:
+RESULT = {
+    "metric": "maskrcnn_r50_fpn_inference_images_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "images/sec",
+    "vs_baseline": 0.0,
+    "status": "starting",
+}
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
+
+
+def emit_and_exit(code: int = 0) -> None:
+    global _emitted
+    with _emit_lock:
+        if not _emitted:
+            _emitted = True
+            print(json.dumps(RESULT), flush=True)
+    os._exit(code)
+
+
+def _on_signal(signum, frame):
+    if RESULT["value"] == 0.0:
+        RESULT["status"] = f"no measurement before signal {signum}"
+    else:
+        RESULT["status"] = f"partial: signal {signum} before full run"
+    emit_and_exit(0)
+
+
+def _probe_and_guard_cache() -> None:
+    """Force-cached tiny jit: detects stale AOT executables (libtpu version
+    mismatch after a runtime upgrade) and wipes the cache once if found."""
     import jax
+    import jax.numpy as jnp
 
-    # persistent compilation cache: the full R50 predictor graph takes
-    # minutes to compile through the axon tunnel; cache makes reruns instant
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/uwcv_jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    # cache even the instant probe so a stale cache is detected HERE,
+    # not minutes later inside the predictor compile
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    for attempt in range(2):
+        try:
+            x = jnp.ones((256, 256), jnp.bfloat16)
+            jax.jit(lambda a: a @ a)(x).block_until_ready()
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError
+            if "libtpu version mismatch" in str(e) and attempt == 0:
+                log(f"stale AOT compile cache (libtpu mismatch); wiping "
+                    f"{CACHE_DIR} and retrying")
+                shutil.rmtree(CACHE_DIR, ignore_errors=True)
+                continue
+            raise
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    import jax.numpy as jnp
+
+def _measure() -> None:
+    import jax
     import numpy as np
+
+    RESULT["status"] = "importing"
+    _probe_and_guard_cache()
+    log(f"platform: {jax.devices()}")
 
     from uwcv_tpu.config import Config
     from uwcv_tpu.engine.predictor import Predictor
-    from uwcv_tpu.models.rcnn import MaskRCNN
+    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
 
     n_images = int(os.environ.get("UWCV_BENCH_IMAGES", "32"))
     batch = int(os.environ.get("UWCV_BENCH_BATCH", "8"))
     depth = int(os.environ.get("UWCV_BENCH_DEPTH", "50"))
     baseline_ips = float(os.environ.get("UWCV_BASELINE_IPS", "0.4"))
+    RESULT["metric"] = (
+        f"maskrcnn_r{depth}_fpn_inference_images_per_sec_per_chip")
 
     cfg = Config()
     cfg.model.depth = depth
 
-    from uwcv_tpu.models.rcnn import init_params
-
+    RESULT["status"] = "init params"
+    log("init params")
     model = MaskRCNN(cfg.model)
     params = init_params(model, jax.random.key(0))
     predictor = Predictor(cfg, params)
@@ -58,8 +135,25 @@ def main() -> None:
     images = [rng.integers(0, 255, (1024, 1280, 3)).astype(np.uint8)
               for _ in range(batch)]
 
-    # warmup / compile
+    RESULT["status"] = "compiling"
+    log(f"warmup/compile: batch={batch} depth={depth} (minutes if uncached)")
+    t = time.perf_counter()
     predictor.predict_batch_device(images)
+    compile_s = time.perf_counter() - t
+    RESULT["compile_s"] = round(compile_s, 1)
+    log(f"compile+first-exec done in {compile_s:.1f}s")
+
+    def record(ips: float, status: str) -> None:
+        RESULT["value"] = round(ips, 3)
+        RESULT["vs_baseline"] = round(ips / baseline_ips, 2)
+        RESULT["status"] = status
+        log(f"{status}: {ips:.3f} img/s ({ips / baseline_ips:.1f}x baseline)")
+
+    # first light: one timed batch, reported immediately
+    t = time.perf_counter()
+    predictor.predict_batch_device(images)
+    dt = time.perf_counter() - t
+    record(batch / dt, "first_light")
 
     profile_dir = os.environ.get("UWCV_PROFILE")
     if profile_dir:
@@ -71,22 +165,90 @@ def main() -> None:
     # (it returns GPU tensors; the export path pays its own transfer —
     # nn_inference.py:325-327).
     n_batches = max(n_images // batch, 1)
-    t0 = time.perf_counter()
+    t = time.perf_counter()
     for _ in range(n_batches):
-        out = predictor.predict_batch_device(images)
-    dt = time.perf_counter() - t0
-
+        predictor.predict_batch_device(images)
+    dt = time.perf_counter() - t
     if profile_dir:
         jax.profiler.stop_trace()
+    record(n_batches * batch / dt, "ok")
 
-    total = n_batches * batch
-    ips = total / dt
-    print(json.dumps({
-        "metric": f"maskrcnn_r{depth}_fpn_inference_images_per_sec_per_chip",
-        "value": round(ips, 3),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / baseline_ips, 2),
-    }))
+    if os.environ.get("UWCV_BENCH_TRAIN") == "1":
+        _measure_train(cfg, RESULT, log)
+
+
+def _measure_train(cfg, result, log) -> None:
+    """Fine-tuning step timing (BASELINE config #3, nn_train.py:211-213)."""
+    import jax
+    import numpy as np
+
+    from uwcv_tpu.engine.trainer import Trainer
+
+    batch = int(os.environ.get("UWCV_BENCH_TRAIN_BATCH", "2"))
+    steps = int(os.environ.get("UWCV_BENCH_TRAIN_STEPS", "10"))
+    cfg.solver.ims_per_batch = batch
+    cfg.input.train_size = (1024, 1024)
+    cfg.input.max_gt_instances = 32
+
+    trainer = Trainer(cfg)
+    trainer.init_state()
+    s, n = cfg.input.train_size[0], cfg.input.max_gt_instances
+    rng = np.random.default_rng(0)
+    masks = np.zeros((batch, n, s, s), bool)
+    masks[:, 0, 100:400, 100:400] = True
+    batch_data = {
+        "image": rng.integers(0, 255, (batch, s, s, 3)).astype(np.uint8),
+        "boxes": np.tile(np.array([[100.0, 100.0, 400.0, 400.0]], np.float32),
+                         (batch, n, 1)),
+        "classes": np.zeros((batch, n), np.int32),
+        "valid": np.tile(np.array([True] + [False] * (n - 1)), (batch, 1)),
+        "masks_packed": np.packbits(masks, axis=-1),
+    }
+    result["train_status"] = "compiling"
+    log(f"train-step warmup/compile: batch={batch}")
+    t = time.perf_counter()
+    state, metrics = trainer._step_fn(trainer.state, batch_data,
+                                      jax.random.key(0))
+    jax.block_until_ready(metrics)
+    result["train_compile_s"] = round(time.perf_counter() - t, 1)
+    t = time.perf_counter()
+    for i in range(steps):
+        state, metrics = trainer._step_fn(state, batch_data,
+                                          jax.random.key(i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t
+    result["train_steps_per_sec"] = round(steps / dt, 3)
+    result["train_images_per_sec"] = round(steps * batch / dt, 3)
+    result["train_batch"] = batch
+    log(f"train: {steps / dt:.3f} steps/s ({steps * batch / dt:.3f} img/s) "
+        f"at batch={batch}")
+
+
+def _worker() -> None:
+    try:
+        _measure()
+    except BaseException as e:  # noqa: BLE001 — report, never die silently
+        RESULT["status"] = "error"
+        RESULT["error"] = f"{type(e).__name__}: {e}"[:2000]
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+
+
+def main() -> None:
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    budget = float(os.environ.get("UWCV_BENCH_BUDGET_S", "0"))
+    deadline = time.perf_counter() + budget if budget > 0 else None
+
+    worker = threading.Thread(target=_worker, daemon=True)
+    worker.start()
+    while worker.is_alive():
+        worker.join(0.2)
+        if deadline is not None and time.perf_counter() > deadline:
+            RESULT["status"] = (f"budget {budget}s exceeded during: "
+                                f"{RESULT.get('status')}")
+            emit_and_exit(0)
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":

@@ -121,8 +121,12 @@ def _conv(sd, key):
 
 
 def _deconv(sd, key):
-    # torch ConvTranspose2d IOHW → flax HWIO
-    return np.transpose(sd[key], (2, 3, 0, 1)).astype(np.float32)
+    # torch ConvTranspose2d IOHW → flax HWIO.  torch computes the gradient
+    # of conv (kernel spatially flipped w.r.t. lax.conv_transpose's
+    # fractionally-strided conv), so flip H and W — verified to 0 ulp vs
+    # torch in tests/test_torch_parity_full.py::test_mask_head_parity
+    return np.ascontiguousarray(
+        np.transpose(sd[key], (2, 3, 0, 1))[::-1, ::-1]).astype(np.float32)
 
 
 def _linear(sd, key):

@@ -140,6 +140,12 @@ class Predictor:
         prepped = [self._prepare(im) for im in images_rgb]
         ch = max(p[0].shape[0] for p in prepped)
         cw = max(p[0].shape[1] for p in prepped)
+        # bucket host canvases to multiples of 128 so folders with drifting
+        # image sizes compile O(few) programs instead of one per distinct
+        # max-size (extra canvas is zeros; per-image scale/out_size are
+        # unchanged, so results are identical)
+        ch = -(-ch // 128) * 128
+        cw = -(-cw // 128) * 128
         batch = np.stack([pad_to_canvas(p[0], ch, cw) for p in prepped])
         # scale relative to the common canvas stays per-image
         scales = jnp.asarray([p[1] for p in prepped], jnp.float32)
