@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles; excluded from the fast default
+
 from uwcv_tpu.models.fpn import FPN, upsample2x_nearest
 from uwcv_tpu.models.resnet import ResNet, STAGE_BLOCKS
 

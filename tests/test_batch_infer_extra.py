@@ -75,3 +75,28 @@ def test_visualizations(tmp_path):
     assert len(gt_paths) == 1 and os.path.exists(gt_paths[0])
     out = np.asarray(Image.open(gt_paths[0]))
     assert out.sum() > 0
+
+
+def test_union_masks_dump(tmp_path):
+    """Reference predicted_masks.jpg/Masks.jpg parity
+    (nn_inference.py:394-405): union canvas, 255 at any selected-class
+    mask, class filter honored."""
+    from PIL import Image
+
+    from uwcv_tpu.engine.batch_inference import save_union_masks
+
+    img_path = str(tmp_path / "img.png")
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img_path)
+    inst = {"classes": np.array([0, 2]), "scores": np.array([0.9, 0.8]),
+            "boxes": np.array([[2, 2, 10, 10], [16, 16, 30, 30.0]]),
+            "masks": np.zeros((2, 32, 32), bool)}
+    inst["masks"][0, 2:10, 2:10] = True
+    inst["masks"][1, 16:30, 16:30] = True
+    paths = save_union_masks({img_path: inst}, str(tmp_path / "viz"))
+    out = np.asarray(Image.open(paths[0]).convert("L"))
+    assert out[5, 5] > 128 and out[20, 20] > 128 and out[0, 0] < 64
+
+    paths = save_union_masks({img_path: inst}, str(tmp_path / "viz2"),
+                             classes_of_interest=[2])
+    out = np.asarray(Image.open(paths[0]).convert("L"))
+    assert out[20, 20] > 128 and out[5, 5] < 64

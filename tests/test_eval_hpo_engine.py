@@ -172,3 +172,41 @@ def test_study_failures_caught():
 def test_create_study_fallback():
     s = create_study("minimize", use_optuna=False)
     assert isinstance(s, Study)
+
+
+# ---------------- pycocotools-parity rows (VERDICT r1 #8) ----------------
+
+def test_greedy_match_prefers_regular_gt_falls_back_to_ignored():
+    from uwcv_tpu.eval.coco_eval import _greedy_match
+
+    iou = np.array([[0.6, 0.9]])
+    matched, matched_ig = _greedy_match(iou, np.array([False, True]))
+    # thr 0.50 (t=0): regular gt (IoU .6) preferred over ignored (IoU .9)
+    assert matched[0, 0] and not matched_ig[0, 0]
+    # thr 0.75 (t=5): regular fails, falls back to the ignored gt
+    assert matched[5, 0] and matched_ig[5, 0]
+    # thr 0.95 (t=9): neither reaches
+    assert not matched[9, 0]
+
+
+def test_area_ranges_and_recall_rows():
+    """Hand-computed fixture: 2 gt (small area 100, large area 22500),
+    2 exact TP preds + 1 medium-area FP."""
+    ev = COCOEvaluator(num_classes=1, iou_type="bbox")
+    gt = _gt([[0, 0, 10, 10], [0, 0, 150, 150]], [0, 0])
+    pred = _pred([[0, 0, 10, 10], [0, 0, 150, 150], [300, 300, 340, 340]],
+                 [0.9, 0.8, 0.7], [0, 0, 0])
+    ev.add_image(pred, gt)
+    res = ev.summarize()
+    assert res["AP"] == pytest.approx(1.0, abs=1e-6)
+    # small range: large gt ignored; its matched pred dropped (not FP);
+    # the medium-area unmatched FP dropped too
+    assert res["AP_small"] == pytest.approx(1.0, abs=1e-6)
+    assert res["AP_large"] == pytest.approx(1.0, abs=1e-6)
+    assert math.isnan(res["AP_medium"])     # no medium gt
+    assert res["AR@1"] == pytest.approx(0.5, abs=1e-6)   # top-1 covers 1/2 gt
+    assert res["AR@10"] == pytest.approx(1.0, abs=1e-6)
+    assert res["AR@100"] == pytest.approx(1.0, abs=1e-6)
+    assert res["AR_small"] == pytest.approx(1.0, abs=1e-6)
+    assert res["AR_large"] == pytest.approx(1.0, abs=1e-6)
+    assert math.isnan(res["AR_medium"])

@@ -5,6 +5,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles; excluded from the fast default
+
 from uwcv_tpu.config import Config
 
 
@@ -14,7 +16,7 @@ def test_run_reference_hpo_smoke(tmp_path):
     from uwcv_tpu.hpo.study import run_reference_hpo
 
     root = str(tmp_path / "data")
-    paths = generate_dataset(root, num_train=2, num_test=0, num_inference=0,
+    paths = generate_dataset(root, num_train=2, num_test=1, num_inference=0,
                              image_size=(96, 96), seed=1)
 
     cfg = Config()
@@ -23,15 +25,26 @@ def test_run_reference_hpo_smoke(tmp_path):
     cfg.model.rpn_pre_nms_topk_train = 64
     cfg.model.rpn_post_nms_topk_train = 32
     cfg.model.rpn_batch_size_per_image = 16
+    cfg.model.rpn_pre_nms_topk_test = 64
+    cfg.model.rpn_post_nms_topk_test = 32
+    cfg.model.nms_candidates_test = 64
+    cfg.model.detections_per_image = 8
     cfg.input.train_size = (96, 96)
     cfg.input.max_gt_instances = 8
+    cfg.input.pad_size_test = (96, 96)
+    cfg.input.test_short_edge = 96
+    cfg.input.test_max_size = 96
     cfg.solver.ims_per_batch = 1
     cfg.output_dir = str(tmp_path / "out")
     cfg.data.train_dataset = "_hpo_smoke"
+    cfg.data.test_dataset = "_hpo_smoke_test"
     cfg.data.classes_csv = paths["classes_csv"]
 
     DatasetCatalog.remove("_hpo_smoke")
+    DatasetCatalog.remove("_hpo_smoke_test")
     register_superannotate("_hpo_smoke", paths["Train"],
+                           classes_csv=paths["classes_csv"])
+    register_superannotate("_hpo_smoke_test", paths["Test"],
                            classes_csv=paths["classes_csv"])
 
     result = run_reference_hpo(cfg, n_trials=1, max_iter=2, n_parallel=1,
@@ -39,5 +52,8 @@ def test_run_reference_hpo_smoke(tmp_path):
     assert result["n_trials"] == 1
     assert result["trials"][0]["state"] == "COMPLETE", result
     assert "base_lr" in result["best_params"]
-    assert result["best_value"] < 1e9
+    # the objective is model quality (val segm mAP), not training loss
+    assert result["objective"] == "segm_mAP"
+    assert 0.0 <= result["best_value"] <= 1.0
     DatasetCatalog.remove("_hpo_smoke")
+    DatasetCatalog.remove("_hpo_smoke_test")

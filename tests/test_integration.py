@@ -9,6 +9,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles; excluded from the fast default
+
 from uwcv_tpu.config import Config
 
 

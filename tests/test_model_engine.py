@@ -3,6 +3,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA compiles; excluded from the fast default
+
 import jax
 import jax.numpy as jnp
 

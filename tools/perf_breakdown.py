@@ -1,0 +1,124 @@
+"""Stage-wise timing of the inference pipeline on the current platform.
+
+Times nested prefixes of the pipeline as separate compiled programs and
+reports the marginal cost of each stage — the measurement behind PERF.md.
+(The profiler's xplane traces need tensorboard_plugin_profile to read,
+which is not installed; prefix-differencing gives the same top-sinks
+answer with tools that are.)
+
+Usage:  python tools/perf_breakdown.py            # real TPU
+        UWCV_PLATFORM=cpu python tools/perf_breakdown.py
+Env:    UWCV_BENCH_BATCH (default 8), UWCV_BENCH_DEPTH (default 50)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+
+    if os.environ.get("UWCV_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["UWCV_PLATFORM"])
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/uwcv_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uwcv_tpu.config import Config
+    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
+    from uwcv_tpu.models.rpn import generate_proposals
+    from uwcv_tpu.engine.predictor import Predictor
+
+    batch = int(os.environ.get("UWCV_BENCH_BATCH", "8"))
+    depth = int(os.environ.get("UWCV_BENCH_DEPTH", "50"))
+    cfg = Config()
+    cfg.model.depth = depth
+    h, w = cfg.input.pad_size_test
+    model = MaskRCNN(cfg.model)
+    params = init_params(model, jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(
+        0, 255, (batch, h, w, 3)).astype(np.float32))
+
+    def feats_fn(params, images):
+        return model.apply(params, images, method=MaskRCNN._features)
+
+    def rpn_fn(params, images):
+        def run(mdl, images):
+            feats = mdl._features(images)
+            obj, deltas = mdl.rpn_head(feats)
+            anchors = mdl._anchors((h, w))
+            return generate_proposals(obj, deltas, anchors, (h, w),
+                                      cfg.model, training=False)
+        return model.apply(params, images, method=run)
+
+    def dets_fn(params, images):
+        dets, _ = model.apply(params, images, method=MaskRCNN.inference,
+                              with_mask_logits=False)
+        return dets
+
+    def full_fn(params, images):
+        return model.apply(params, images, method=MaskRCNN.inference)
+
+    stages = [
+        ("backbone+fpn", feats_fn),
+        ("+rpn+proposals(nms)", rpn_fn),
+        ("+roialign+boxhead+dets(nms)", dets_fn),
+        ("+maskhead", full_fn),
+    ]
+
+    def timeit(fn, n=6):
+        jfn = jax.jit(fn)
+        out = jfn(params, images)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(n):
+            t = time.perf_counter()
+            out = jfn(params, images)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    rows = []
+    prev = 0.0
+    for name, fn in stages:
+        t = timeit(fn)
+        rows.append((name, t, t - prev))
+        prev = t
+        print(f"{name:36s} cum {t * 1000:8.1f} ms   marginal "
+              f"{(rows[-1][2]) * 1000:8.1f} ms", file=sys.stderr, flush=True)
+
+    # full predictor program (adds resize + paste + morphology + bitpack)
+    predictor = Predictor(cfg, params)
+    imgs_u8 = [np.asarray(im, np.uint8) for im in
+               rng.integers(0, 255, (batch, 1024, 1280, 3)).astype(np.uint8)]
+    predictor.predict_batch_device(imgs_u8)
+    best = float("inf")
+    for _ in range(6):
+        t = time.perf_counter()
+        predictor.predict_batch_device(imgs_u8)
+        best = min(best, time.perf_counter() - t)
+    rows.append(("full predictor (resize+paste+morph+D2H sync)", best,
+                 best - prev))
+    print(f"{rows[-1][0]:36s} cum {best * 1000:8.1f} ms   marginal "
+          f"{rows[-1][2] * 1000:8.1f} ms", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "batch": batch, "depth": depth,
+        "stages": [{"name": n, "cum_s": round(t, 4),
+                    "marginal_s": round(m, 4)} for n, t, m in rows],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,25 @@ from typing import List, Optional
 from uwcv_tpu.config import Config, get_config
 
 
+def _apply_platform_env() -> None:
+    """Honor UWCV_PLATFORM=cpu|tpu|... before any backend initializes.
+
+    Some TPU plugins (the axon remote-attach plugin here) pin JAX_PLATFORMS
+    via sitecustomize and ignore the inherited env var, so plain
+    ``JAX_PLATFORMS=cpu uwcv ...`` silently lands on the TPU;
+    ``jax.config.update`` wins over the pin.  Also enables the persistent
+    compilation cache — the R-CNN graphs take minutes to compile and every
+    CLI invocation is a fresh process."""
+    import jax
+
+    platform = os.environ.get("UWCV_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/uwcv_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("-o", "--override", action="append", default=[],
                    metavar="KEY=VALUE", help="config override (repeatable)")
@@ -72,6 +91,7 @@ def cmd_infer(args) -> int:
     cfg = _build_cfg(args)
     from uwcv_tpu.engine.batch_inference import (
         run_batch_inference,
+        save_union_masks,
         save_visualizations,
     )
     from uwcv_tpu.engine.predictor import load_predictor
@@ -90,6 +110,9 @@ def cmd_infer(args) -> int:
     if args.visualize:
         save_visualizations(result["predictions"], registry,
                             os.path.join(cfg.output_dir, "viz"))
+        # the reference's predicted_masks.jpg / Masks.jpg union dumps
+        save_union_masks(result["predictions"],
+                         os.path.join(cfg.output_dir, "viz"))
     print(f"wrote {result['csv']} ({result['num_images']} images)")
     return 0
 
@@ -105,11 +128,8 @@ def cmd_eval(args) -> int:
     cfg = _build_cfg(args)
     import numpy as np
 
-    from uwcv_tpu.data.loader import load_image_rgb
-    from uwcv_tpu.data.rasterize import annotations_to_arrays
-    from uwcv_tpu.engine.batch_inference import resize_masks_to_original
     from uwcv_tpu.engine.predictor import load_predictor
-    from uwcv_tpu.eval.coco_eval import evaluate_dataset
+    from uwcv_tpu.eval.coco_eval import evaluate_split
 
     dicts = _load_dataset(cfg, "Test", args.data_dir)
     if not cfg.weights:
@@ -117,18 +137,7 @@ def cmd_eval(args) -> int:
         if os.path.isdir(default):
             cfg.weights = default
     predictor = load_predictor(cfg)
-    preds, gts = [], []
-    for rec in dicts:
-        img = load_image_rgb(rec["file_name"])
-        inst = predictor(img).to_numpy()
-        inst = resize_masks_to_original(inst, img.shape[:2])
-        preds.append(inst)
-        arr = annotations_to_arrays(rec["annotations"], rec["height"],
-                                    rec["width"], max_instances=256)
-        n = arr["num_instances"]
-        gts.append({"boxes": arr["boxes"][:n], "classes": arr["classes"][:n],
-                    "masks": arr["masks"][:n]})
-    results = evaluate_dataset(preds, gts, cfg.model.num_classes)
+    results = evaluate_split(cfg, dicts, predictor=predictor)
     print(json.dumps(results, indent=2))
     path = os.path.join(cfg.output_dir, "coco_metrics.json")
     os.makedirs(cfg.output_dir, exist_ok=True)
@@ -160,6 +169,7 @@ def cmd_synth(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    _apply_platform_env()
     parser = argparse.ArgumentParser(
         prog="uwcv", description="TPU-native instance-segmentation framework")
     sub = parser.add_subparsers(dest="command", required=True)

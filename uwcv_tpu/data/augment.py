@@ -33,14 +33,20 @@ import jax.numpy as jnp
 
 from uwcv_tpu.config import InputConfig
 
+# numpy (not jnp) on purpose: this module can be imported lazily while
+# another function is being traced, and module-level jnp ops executed under
+# an active trace would cache tracers in these globals (leaks into every
+# later jit) — numpy constants are trace-proof.
+import numpy as _np
+
 # ITU-R 601 luma weights (RGB) — Detectron2 RandomSaturation.
-_GRAY_RGB = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+_GRAY_RGB = _np.array([0.299, 0.587, 0.114], _np.float32)
 # ImageNet PCA lighting basis — Detectron2 RandomLighting (RGB order).
-_EIGVEC = jnp.array(
+_EIGVEC = _np.array(
     [[-0.5675, 0.7192, 0.4009],
      [-0.5808, -0.0045, -0.8140],
-     [-0.5836, -0.6948, 0.4203]], jnp.float32)
-_EIGVAL = jnp.array([0.2175, 0.0188, 0.0045], jnp.float32)
+     [-0.5836, -0.6948, 0.4203]], _np.float32)
+_EIGVAL = _np.array([0.2175, 0.0188, 0.0045], _np.float32)
 
 
 def _blend(img: jnp.ndarray, src, w) -> jnp.ndarray:
@@ -65,7 +71,7 @@ def random_saturation(img, key, lo, hi):
 
 def random_lighting(img, key, scale):
     weights = jax.random.normal(key, (3,)) * scale
-    delta = _EIGVEC @ (weights * _EIGVAL) * 255.0
+    delta = jnp.asarray(_EIGVEC) @ (weights * _EIGVAL) * 255.0
     return img + delta
 
 

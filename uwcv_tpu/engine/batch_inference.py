@@ -178,12 +178,14 @@ def save_visualizations(
     output_dir: str,
     alpha: float = 0.45,
 ) -> List[str]:
-    """Instance overlays (SURVEY.md C12 — the reference's Visualizer path).
+    """Instance overlays (SURVEY.md C12 — the reference's Visualizer path,
+    nn_inference.py:343-350).
 
-    Blends per-class colors over the image and draws box outlines; pure
-    numpy + PIL, no Detectron2.
+    Blends per-class colors over the image, draws box outlines, and labels
+    each instance "<class> <score>%" like Detectron2's
+    draw_instance_predictions; pure numpy + PIL, no Detectron2.
     """
-    from PIL import Image
+    from PIL import Image, ImageDraw
 
     os.makedirs(output_dir, exist_ok=True)
     out_paths = []
@@ -203,8 +205,55 @@ def save_visualizations(
             y1, y2 = np.clip([y1, y2], 0, img.shape[0] - 1)
             img[y1:y2 + 1, [x1, x2]] = color
             img[[y1, y2], x1:x2 + 1] = color
+        pil = Image.fromarray(img.clip(0, 255).astype(np.uint8))
+        draw = ImageDraw.Draw(pil)
+        scores = inst.get("scores")
+        for i, (box, cls) in enumerate(zip(inst["boxes"], inst["classes"])):
+            name = registry.names[int(cls) % len(registry.names)]
+            label = (f"{name} {100 * float(scores[i]):.0f}%"
+                     if scores is not None else name)
+            x1, y1 = int(round(box[0])), int(round(box[1]))
+            ty = max(y1 - 11, 0)
+            tw = int(draw.textlength(label))
+            draw.rectangle([x1, ty, x1 + tw + 2, ty + 11], fill=(0, 0, 0))
+            draw.text((x1 + 1, ty), label, fill=(255, 255, 255))
         name = os.path.splitext(os.path.basename(path))[0] + "_pred.png"
         out = os.path.join(output_dir, name)
-        Image.fromarray(img.clip(0, 255).astype(np.uint8)).save(out)
+        pil.save(out)
+        out_paths.append(out)
+    return out_paths
+
+
+def save_union_masks(
+    predictions: Dict[str, Dict[str, np.ndarray]],
+    output_dir: str,
+    classes_of_interest: Optional[Sequence[int]] = None,
+) -> List[str]:
+    """Binary union-mask canvases — the reference's ``predicted_masks.jpg``
+    / ``Masks.jpg`` dumps (nn_inference.py:394-405): a black image-sized
+    canvas with 255 wherever any instance of the selected classes is
+    predicted.  One ``<image>_masks.jpg`` per input (the reference
+    overwrites one global file per image; per-image names keep all of
+    them)."""
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    out_paths = []
+    for path, inst in predictions.items():
+        masks = inst.get("masks")
+        if masks is None:
+            continue
+        classes = np.asarray(inst["classes"])
+        sel = (np.isin(classes, np.asarray(list(classes_of_interest)))
+               if classes_of_interest is not None
+               else np.ones(len(classes), bool))
+        if not (len(masks) and sel.any()):
+            continue
+        union = np.any(np.asarray(masks)[sel], axis=0)
+        canvas = np.where(union[..., None], 255, 0).astype(np.uint8)
+        canvas = np.repeat(canvas, 3, axis=-1)
+        name = os.path.splitext(os.path.basename(path))[0] + "_masks.jpg"
+        out = os.path.join(output_dir, name)
+        Image.fromarray(canvas).save(out)
         out_paths.append(out)
     return out_paths

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uwcv_tpu.config import Config
+from uwcv_tpu.data.augment import pack_bitmasks
 from uwcv_tpu.data.loader import load_image_rgb
 from uwcv_tpu.models.rcnn import MaskRCNN
 from uwcv_tpu.ops.mask_paste import paste_masks
@@ -106,8 +107,6 @@ class Predictor:
         masks, keep = jax.vmap(paste_one)(dets, mask_probs, out_sizes)
         # bit-pack for the device→host hop: [B,D,H,W] bool → [B,D,H,W/8]
         # uint8, an 8× cut of what dominates D2H traffic
-        from uwcv_tpu.data.augment import pack_bitmasks
-
         return dets, pack_bitmasks(masks), keep
 
     # -------- host API --------
@@ -125,9 +124,13 @@ class Predictor:
         out_w = min(int(round(w * scale)), self.pad_w)
         return padded, scale, (out_h, out_w)
 
-    def predict_batch_device(self, images_rgb: Sequence[np.ndarray]):
+    def predict_batch_device(self, images_rgb: Sequence[np.ndarray],
+                             block: bool = True):
         """Run a batch, returning DEVICE-resident results (blocked until
-        complete): (Detections, packed_masks [B,D,H,W/8] uint8|None,
+        complete unless ``block=False``, which lets callers pipeline many
+        batches — XLA overlaps batch i's compute with batch i+1's host prep
+        and transfer — and sync once at the end):
+        (Detections, packed_masks [B,D,H,W/8] uint8|None,
         keep [B,D] bool, scales [B], out_sizes [B,2]).
 
         This is the reference ``DefaultPredictor`` contract — it returns GPU
@@ -153,10 +156,11 @@ class Predictor:
 
         dets, masks_packed, keep = self._jit_run(
             jnp.asarray(batch), scales, out_sizes)
-        # sync via a tiny (3 KB) host pull: on remote-attached TPUs
-        # block_until_ready can return before execution completes, which
-        # would make timings dispatch-only
-        np.asarray(dets.scores)
+        if block:
+            # sync via a tiny (3 KB) host pull: on remote-attached TPUs
+            # block_until_ready can return before execution completes, which
+            # would make timings dispatch-only
+            np.asarray(dets.scores)
         return dets, masks_packed, keep, [p[1] for p in prepped], \
             [p[2] for p in prepped]
 

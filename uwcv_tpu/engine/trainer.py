@@ -157,6 +157,11 @@ class Trainer:
         metrics_path = os.path.join(self.cfg.output_dir, "metrics.json")
         start_step = int(self.state.step)
         t0 = time.time()
+        # TensorBoard event stream alongside metrics.json — the reference's
+        # Colab workflow tails output/ with %tensorboard (SURVEY.md C17)
+        from uwcv_tpu.utils.tb_writer import SummaryWriter
+
+        tb = SummaryWriter(self.cfg.output_dir)
         with open(metrics_path, "a") as mf:
             for i in range(start_step, max_iter):
                 batch = next(batch_iter)
@@ -171,24 +176,30 @@ class Trainer:
                         i + 1 - start_step, 1)
                     mf.write(json.dumps(m) + "\n")
                     mf.flush()
+                    tb.add_scalars(i + 1, {f"train/{k}": v
+                                           for k, v in m.items()
+                                           if k != "iteration"})
                     log_fn(f"iter {i + 1}/{max_iter} "
                            + " ".join(f"{k}={v:.4f}" for k, v in m.items()
                                       if k != "iteration"))
                 if (self.cfg.solver.checkpoint_period > 0
                         and (i + 1) % self.cfg.solver.checkpoint_period == 0):
                     self.save_checkpoint()
+        tb.close()
         self.save_checkpoint(final=True)
         return self.state
 
     def save_checkpoint(self, final: bool = False) -> str:
-        from uwcv_tpu.engine.checkpoint import save_checkpoint
+        from uwcv_tpu.engine.checkpoint import save_checkpoint, save_params
 
         step = int(self.state.step)
         path = save_checkpoint(self.cfg.output_dir, self.state, step)
         if final:
-            # reference writes OUTPUT_DIR/model_final.pth (nn_train.py:213)
-            save_checkpoint(self.cfg.output_dir, self.state, step,
-                            name="model_final")
+            # reference writes OUTPUT_DIR/model_final.pth (nn_train.py:213);
+            # params-only — it is consumed by the Predictor (load_params),
+            # not resumed from (ckpt_* holds the full TrainState for that)
+            save_params(self.cfg.output_dir, self.state.params,
+                        name="model_final")
         return path
 
     def resume_or_load(self, resume: bool = False) -> None:

@@ -1,20 +1,24 @@
-"""COCO-style mAP evaluator — pycocotools-free (SURVEY.md N10).
+"""COCO-style mAP/mAR evaluator — pycocotools-free (SURVEY.md N10).
 
 The reference imports COCOEvaluator but never calls it (nn_train.py:49,
 README ToDo "metrics") — making mAP a declared-missing feature this rebuild
 must provide.  This is a from-scratch implementation of the COCOeval
-protocol for box and mask IoU:
+protocol for box and mask IoU, matching the pycocotools summary rows:
 
-- 101-point interpolated AP per (class, IoU threshold), averaged over
-  IoU .50:.05:.95 ("AP"), plus AP50/AP75;
-- greedy matching of predictions (score-sorted) to ground truth at each
-  threshold, one gt per prediction;
-- mask IoU computed on bitmasks; box IoU on XYXY arrays;
-- AR@100 (average recall) as a secondary diagnostic.
-
-Known simplifications vs pycocotools (documented, conservative): no crowd
-handling (the SA datasets have none — nn_train.py:150 drops iscrowd) and no
-area-range breakdown (can be added per report need).
+- 101-point interpolated AP per (class, IoU threshold .50:.05:.95, area
+  range, maxDets=100): "AP", "AP50", "AP75", "AP_small/medium/large";
+- average recall "AR@1", "AR@10", "AR@100", "AR_small/medium/large" (@100);
+- pycocotools ignore semantics: ground truth outside the area range is
+  ignored (not counted, and predictions greedily matched to it are dropped
+  from scoring); unmatched predictions outside the range are dropped too;
+  a prediction prefers the highest-IoU unmatched *regular* gt and falls
+  back to ignored gt only when no regular gt reaches the threshold;
+- greedy matching is vectorized across all 10 IoU thresholds at once (the
+  per-prediction loop is inherently sequential, the threshold axis is not);
+- mask IoU on bitmasks; box IoU on XYXY arrays; instance "area" is the mask
+  pixel count for segm and the box area for bbox (the SA datasets carry no
+  crowd regions — nn_train.py:150 drops iscrowd — so crowd handling is
+  intentionally omitted).
 """
 
 from __future__ import annotations
@@ -28,6 +32,15 @@ import numpy as np
 # 0.7000000000000001, rejecting exact-0.7 IoU matches (pycocotools uses
 # linspace for the same reason)
 IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
+
+# pycocotools areaRng (pixels²): all / small / medium / large
+AREA_RANGES: Dict[str, Tuple[float, float]] = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+MAX_DETS = 100
 
 
 def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -71,13 +84,44 @@ def _average_precision(scores: np.ndarray, matched: np.ndarray,
     recall = tp_cum / num_gt
     precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
     # precision envelope
-    for i in range(len(precision) - 1, 0, -1):
-        precision[i - 1] = max(precision[i - 1], precision[i])
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
     recall_points = np.linspace(0, 1, 101)
     idx = np.searchsorted(recall, recall_points, side="left")
     prec_at = np.where(idx < len(precision), precision[np.minimum(
         idx, len(precision) - 1)], 0.0)
     return float(prec_at.mean())
+
+
+def _greedy_match(iou: np.ndarray, gt_ignore: np.ndarray):
+    """Greedy COCO matching, all IoU thresholds at once.
+
+    iou [P,G] with predictions already in descending-score order;
+    gt_ignore [G] bool.  Returns (matched [T,P], matched_ignored [T,P]):
+    matched_ignored marks predictions whose greedy match was an ignored gt.
+    """
+    n_thr = len(IOU_THRESHOLDS)
+    p, g = iou.shape
+    matched = np.zeros((n_thr, p), bool)
+    matched_ig = np.zeros((n_thr, p), bool)
+    if g == 0:
+        return matched, matched_ig
+    taken = np.zeros((n_thr, g), bool)
+    t_idx = np.arange(n_thr)
+    gt_ig_row = gt_ignore[None, :]
+    for pi in range(p):
+        cand = np.where(taken, -1.0, iou[pi][None, :])       # [T,G]
+        real = np.where(gt_ig_row, -1.0, cand)
+        gi_r = real.argmax(axis=1)
+        ok_r = real[t_idx, gi_r] >= IOU_THRESHOLDS
+        ign = np.where(gt_ig_row, cand, -1.0)
+        gi_i = ign.argmax(axis=1)
+        ok_i = ~ok_r & (ign[t_idx, gi_i] >= IOU_THRESHOLDS)
+        ok = ok_r | ok_i
+        gi = np.where(ok_r, gi_r, gi_i)
+        taken[t_idx[ok], gi[ok]] = True
+        matched[:, pi] = ok
+        matched_ig[:, pi] = ok_i
+    return matched, matched_ig
 
 
 class COCOEvaluator:
@@ -92,61 +136,122 @@ class COCOEvaluator:
         assert iou_type in ("bbox", "segm")
         self.num_classes = num_classes
         self.iou_type = iou_type
-        # per (class, threshold): list of (score, matched) + gt count
-        self._preds: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = \
-            defaultdict(list)
-        self._num_gt = np.zeros(num_classes, np.int64)
+        # per class: list of per-image (scores_desc, iou, pred_area, gt_area)
+        self._entries: Dict[int, List[tuple]] = defaultdict(list)
+
+    def _areas(self, boxes: np.ndarray,
+               masks: Optional[np.ndarray]) -> np.ndarray:
+        if self.iou_type == "segm" and masks is not None and len(masks):
+            return masks.reshape(len(masks), -1).sum(axis=1).astype(
+                np.float64)
+        if len(boxes) == 0:
+            return np.zeros(0)
+        wh = np.clip(boxes[:, 2:] - boxes[:, :2], 0, None)
+        return (wh[:, 0] * wh[:, 1]).astype(np.float64)
 
     def add_image(self, pred: Dict[str, np.ndarray],
                   gt: Dict[str, np.ndarray]) -> None:
         for c in range(self.num_classes):
-            p_sel = pred["classes"] == c
-            g_sel = gt["classes"] == c
-            self._num_gt[c] += int(g_sel.sum())
-            if not p_sel.any():
+            p_sel = np.asarray(pred["classes"]) == c
+            g_sel = np.asarray(gt["classes"]) == c
+            if not p_sel.any() and not g_sel.any():
                 continue
-            scores = pred["scores"][p_sel]
+            scores = np.asarray(pred["scores"])[p_sel]
+            order = np.argsort(-scores, kind="stable")[:MAX_DETS]
+            scores = scores[order]
+            p_boxes = np.asarray(pred["boxes"])[p_sel][order]
+            g_boxes = np.asarray(gt["boxes"])[g_sel]
+            p_masks = g_masks = None
             if self.iou_type == "bbox":
-                iou = box_iou_np(pred["boxes"][p_sel], gt["boxes"][g_sel])
+                iou = box_iou_np(p_boxes, g_boxes)
             else:
-                iou = mask_iou_np(pred["masks"][p_sel], gt["masks"][g_sel])
-            # greedy match per threshold, score order
-            order = np.argsort(-scores, kind="stable")
-            matched_all = np.zeros((len(scores), len(IOU_THRESHOLDS)), bool)
-            for t_i, thr in enumerate(IOU_THRESHOLDS):
-                taken = np.zeros(iou.shape[1], bool)
-                for rank, pi in enumerate(order):
-                    if iou.shape[1] == 0:
-                        break
-                    cand = iou[pi] * ~taken
-                    gi = int(np.argmax(cand))
-                    if cand[gi] >= thr:
-                        taken[gi] = True
-                        matched_all[pi, t_i] = True
-            self._preds[c].append((scores, matched_all))
+                p_masks = np.asarray(pred["masks"])[p_sel][order]
+                g_masks = np.asarray(gt["masks"])[g_sel]
+                iou = mask_iou_np(p_masks, g_masks)
+            self._entries[c].append((
+                scores, iou,
+                self._areas(p_boxes, p_masks),
+                self._areas(g_boxes, g_masks)))
+
+    def _accumulate(self, c: int, area_rng: Tuple[float, float]):
+        """Match every stored image of class c under one area range.
+
+        Returns (scores [N], matched [T,N], pred_ignore [T,N], num_gt,
+        per_image_tp: list of [T,P_i] bools for AR@k truncation).
+        """
+        lo, hi = area_rng
+        all_scores, all_matched, all_ignore, per_image = [], [], [], []
+        num_gt = 0
+        for scores, iou, p_area, g_area in self._entries[c]:
+            gt_ig = (g_area < lo) | (g_area > hi)
+            num_gt += int((~gt_ig).sum())
+            matched, matched_ig = _greedy_match(iou, gt_ig)
+            out_rng = (p_area < lo) | (p_area > hi)
+            pred_ig = matched_ig | (~matched & out_rng[None, :])
+            all_scores.append(scores)
+            all_matched.append(matched & ~pred_ig)
+            all_ignore.append(pred_ig)
+            per_image.append(matched & ~pred_ig)
+        if all_scores:
+            return (np.concatenate(all_scores),
+                    np.concatenate(all_matched, axis=1),
+                    np.concatenate(all_ignore, axis=1), num_gt, per_image)
+        n_thr = len(IOU_THRESHOLDS)
+        return (np.zeros(0), np.zeros((n_thr, 0), bool),
+                np.zeros((n_thr, 0), bool), num_gt, [])
 
     def summarize(self) -> Dict[str, float]:
-        ap_per_class_thr = np.full(
-            (self.num_classes, len(IOU_THRESHOLDS)), np.nan)
-        for c in range(self.num_classes):
-            if self._preds[c]:
-                scores = np.concatenate([s for s, _ in self._preds[c]])
-                matched = np.concatenate([m for _, m in self._preds[c]])
-            else:
-                scores = np.zeros(0)
-                matched = np.zeros((0, len(IOU_THRESHOLDS)), bool)
-            for t_i in range(len(IOU_THRESHOLDS)):
-                ap_per_class_thr[c, t_i] = _average_precision(
-                    scores, matched[:, t_i], int(self._num_gt[c]))
+        n_thr = len(IOU_THRESHOLDS)
+        n_cls = self.num_classes
+        ap = {name: np.full((n_cls, n_thr), np.nan) for name in AREA_RANGES}
+        ar_k = {k: np.full((n_cls, n_thr), np.nan) for k in (1, 10, 100)}
+        ar_rng = {name: np.full((n_cls, n_thr), np.nan)
+                  for name in AREA_RANGES}
 
+        for c in range(n_cls):
+            for name, rng in AREA_RANGES.items():
+                scores, matched, pred_ig, num_gt, per_image = \
+                    self._accumulate(c, rng)
+                if num_gt == 0:
+                    continue
+                for t in range(n_thr):
+                    keep = ~pred_ig[t]
+                    ap[name][c, t] = _average_precision(
+                        scores[keep], matched[t, keep], num_gt)
+                if name == "all":
+                    # per threshold: tp among each image's top-k detections
+                    for k in (1, 10, 100):
+                        tps = np.zeros(n_thr)
+                        for m in per_image:
+                            tps += m[:, :k].sum(axis=1)
+                        ar_k[k][c] = tps / num_gt
+                tps = np.zeros(n_thr)
+                for m in per_image:
+                    tps += m[:, :MAX_DETS].sum(axis=1)
+                ar_rng[name][c] = tps / num_gt
+
+        def nanmean(x) -> float:
+            with np.errstate(invalid="ignore"):
+                v = np.nanmean(x)
+            return float(v) if np.isfinite(v) else float("nan")
+
+        results = {
+            "AP": nanmean(ap["all"]),
+            "AP50": nanmean(ap["all"][:, 0]),
+            "AP75": nanmean(ap["all"][:, 5]),
+            "AP_small": nanmean(ap["small"]),
+            "AP_medium": nanmean(ap["medium"]),
+            "AP_large": nanmean(ap["large"]),
+            "AR@1": nanmean(ar_k[1]),
+            "AR@10": nanmean(ar_k[10]),
+            "AR@100": nanmean(ar_k[100]),
+            "AR_small": nanmean(ar_rng["small"]),
+            "AR_medium": nanmean(ar_rng["medium"]),
+            "AR_large": nanmean(ar_rng["large"]),
+        }
         with np.errstate(invalid="ignore"):
-            per_class_ap = np.nanmean(ap_per_class_thr, axis=1)
-            results = {
-                "AP": float(np.nanmean(ap_per_class_thr)),
-                "AP50": float(np.nanmean(ap_per_class_thr[:, 0])),
-                "AP75": float(np.nanmean(ap_per_class_thr[:, 5])),
-            }
-        for c in range(self.num_classes):
+            per_class_ap = np.nanmean(ap["all"], axis=1)
+        for c in range(n_cls):
             results[f"AP_class{c}"] = float(per_class_ap[c])
         return results
 
@@ -167,3 +272,31 @@ def evaluate_dataset(
             ev.add_image(pred, gt)
         out[iou_type] = ev.summarize()
     return out
+
+
+def evaluate_split(cfg, dicts, predictor=None, params=None,
+                   iou_types: Sequence[str] = ("bbox", "segm"),
+                   max_images: Optional[int] = None) -> Dict[str, Dict[str, float]]:
+    """Run a predictor over dataset dicts and score — the shared glue behind
+    ``uwcv eval`` (cli/main.py) and the HPO val-mAP objective
+    (hpo/study.py).  Pass either a built Predictor or params."""
+    from uwcv_tpu.data.loader import load_image_rgb
+    from uwcv_tpu.data.rasterize import annotations_to_arrays
+    from uwcv_tpu.engine.batch_inference import resize_masks_to_original
+    from uwcv_tpu.engine.predictor import Predictor
+
+    if predictor is None:
+        predictor = Predictor(cfg, params)
+    preds, gts = [], []
+    for rec in dicts[:max_images]:
+        img = load_image_rgb(rec["file_name"])
+        inst = predictor(img).to_numpy()
+        inst = resize_masks_to_original(inst, img.shape[:2])
+        preds.append(inst)
+        arr = annotations_to_arrays(rec["annotations"], rec["height"],
+                                    rec["width"], max_instances=256)
+        n = arr["num_instances"]
+        gts.append({"boxes": arr["boxes"][:n], "classes": arr["classes"][:n],
+                    "masks": arr["masks"][:n]})
+    return evaluate_dataset(preds, gts, cfg.model.num_classes,
+                            iou_types=iou_types)

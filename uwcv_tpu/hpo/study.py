@@ -242,12 +242,22 @@ def device_groups(n_parallel: int) -> List[list]:
 
 def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
                       max_iter: int = 100, n_parallel: Optional[int] = None,
-                      seed: int = 0) -> Dict[str, Any]:
-    """Search LR / anchor scale / ROI batch; objective = final total loss on
-    a short fine-tune (val mAP once a val split exists is a drop-in swap).
+                      seed: int = 0,
+                      eval_max_images: Optional[int] = None) -> Dict[str, Any]:
+    """Search LR / anchor scale / ROI batch (BASELINE config #5, README ToDo
+    "DO OPTUNA OPTIMIZATION").
+
+    Objective: **val segm mAP** (maximized) on the Test split after a short
+    fine-tune, scored by eval/coco_eval.py — model quality, not training
+    loss (loss is gameable by LR→0).  When no Test split exists the
+    objective falls back to final training loss (minimized); the returned
+    dict's ``objective`` field says which was used.
 
     Trials run one-per-device-group concurrently.
     """
+    import os
+    import queue
+
     import jax
 
     from uwcv_tpu.data.catalog import DatasetCatalog, register_superannotate
@@ -257,15 +267,35 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
 
     name = cfg.data.train_dataset
     if name not in DatasetCatalog.list():
-        import os
-
         root = data_dir or os.path.join(cfg.data.dataset_root, "Train")
         register_superannotate(name, root, classes_csv=cfg.data.classes_csv)
     dicts = DatasetCatalog.get(name)
 
+    # eval split for the mAP objective: registered test_dataset, else the
+    # reference's DATASET/Test folder layout (nn_train.py Test split)
+    eval_dicts = None
+    try:
+        ename = cfg.data.test_dataset
+        if ename in DatasetCatalog.list():
+            eval_dicts = DatasetCatalog.get(ename) or None
+        else:
+            troot = (os.path.join(os.path.dirname(
+                os.path.abspath(data_dir).rstrip("/")), "Test")
+                if data_dir else os.path.join(cfg.data.dataset_root, "Test"))
+            if os.path.isdir(troot):
+                register_superannotate(ename, troot,
+                                       classes_csv=cfg.data.classes_csv)
+                eval_dicts = DatasetCatalog.get(ename) or None
+    except Exception:
+        eval_dicts = None
+    use_map = eval_dicts is not None
+
     groups = device_groups(n_parallel or len(jax.devices()))
-    group_free = list(range(len(groups)))
-    group_lock = threading.Lock()
+    # blocking queue — a trial WAITS for a free device group instead of
+    # silently double-booking group 0 (round-1 bug)
+    group_queue: "queue.Queue[int]" = queue.Queue()
+    for gid in range(len(groups)):
+        group_queue.put(gid)
 
     def objective(trial: Trial) -> float:
         lr = trial.suggest_float("base_lr", 1e-5, 1e-2, log=True)
@@ -288,11 +318,8 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
             for level in cfg.model.anchor_sizes)
         tcfg.output_dir = f"{cfg.output_dir}/hpo_trial{trial.number}"
 
-        with group_lock:
-            gid = group_free.pop() if group_free else 0
+        gid = group_queue.get()   # blocks until a device group frees up
         try:
-            import numpy as _np
-
             mesh = build_mesh(tcfg.parallel, devices=groups[gid])
             trainer = Trainer(tcfg, mesh=mesh)
             trainer.init_state(jax.random.key(seed + trial.number))
@@ -313,15 +340,26 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
                         losses.append(float(metrics["total_loss"]))
             finally:
                 loader.stop()
+            if use_map:
+                from uwcv_tpu.eval.coco_eval import evaluate_split
+
+                params = jax.device_put(state.params, groups[gid][0])
+                res = evaluate_split(tcfg, eval_dicts, params=params,
+                                     max_images=eval_max_images)
+                v = res["segm"]["AP"]
+                if not math.isfinite(v):
+                    v = res["bbox"]["AP"]
+                return v if math.isfinite(v) else 0.0
             value = float(np.mean(losses)) if losses else float("inf")
             return value if math.isfinite(value) else 1e9
         finally:
-            with group_lock:
-                group_free.append(gid)
+            group_queue.put(gid)
 
-    study = create_study("minimize", seed=seed, use_optuna=False)
+    study = create_study("maximize" if use_map else "minimize", seed=seed,
+                         use_optuna=False)
     study.optimize(objective, n_trials=n_trials, n_parallel=len(groups))
     return {"best_params": study.best_params, "best_value": study.best_value,
+            "objective": "segm_mAP" if use_map else "final_loss",
             "n_trials": len(study.trials),
             "trials": [{"number": t.number, "value": t.value,
                         "params": t.params, "state": t.state}

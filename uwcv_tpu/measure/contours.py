@@ -143,11 +143,16 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
         return pts
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
+    def cross2(a, b):
+        # 2-D scalar cross product; np.cross on 2-vectors is deprecated
+        # (removed in numpy>=2.x for 2-D inputs)
+        return a[0] * b[1] - a[1] * b[0]
+
     def half(seq):
         out: List[np.ndarray] = []
         for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2],
-                                             p - out[-2]) <= 0:
+            while len(out) >= 2 and cross2(out[-1] - out[-2],
+                                           p - out[-2]) <= 0:
                 out.pop()
             out.append(p)
         return out

@@ -181,9 +181,14 @@ def multilevel_roi_align(
     3. the bilinear interpolation becomes two tiny matmuls per roi
        ([S,window] weight matrices against the patch) — MXU work.
 
-    Rois clamped at p5 that span more than ``window`` cells sample a
-    truncated neighborhood (coordinates clamp to the window edge) — the same
-    compromise TF's TPU Mask R-CNN makes; everything in [14, 28) is exact.
+    Rois whose max extent would overflow the window on their assigned level
+    (eq. 1 assigns by sqrt(area), so image-wide-but-thin boxes — SEM scale
+    bars — can overflow ANY level, and boxes clamped at p5 overflow p5) are
+    bumped to the coarsest level that fits, including a *virtual level 6*
+    (2× avg-pooled p5, stride 64).  They get full spatial coverage at a
+    reduced sample rate (a blur) instead of a truncated field of view;
+    tests/test_ops_nms_roialign.py::test_image_wide_roi_full_coverage pins
+    exactness on linear-ramp features.  Everything in [14, 28) is exact.
     """
     names = ["p2", "p3", "p4", "p5"]
     shapes = [features[n].shape for n in names]
@@ -192,19 +197,34 @@ def multilevel_roi_align(
     hmax = max(max(s[0] for s in shapes), window)
     wmax = max(max(s[1] for s in shapes), window)
 
+    # virtual level 6: 2× average-pooled p5 (cell j represents continuous
+    # position (j+0.5)·64 px — consistent with the stride convention)
+    h5, w5 = shapes[3][:2]
+    p5 = features["p5"]
+    p5 = jnp.pad(p5, ((0, h5 % 2), (0, w5 % 2), (0, 0)), mode="edge")
+    h6, w6 = p5.shape[0] // 2, p5.shape[1] // 2
+    p6v = p5.reshape(h6, 2, w6, 2, c).mean(axis=(1, 3)).astype(dtype)
+    shapes = shapes + [(h6, w6, c)]
+    slabs = [features[n] for n in names] + [p6v]
+
     canvas = jnp.stack([
-        jnp.pad(features[n],
-                ((0, hmax - s[0]), (0, wmax - s[1]), (0, 0)))
-        for n, s in zip(names, shapes)
-    ])                                                       # [4,Hmax,Wmax,C]
+        jnp.pad(f, ((0, hmax - s[0]), (0, wmax - s[1]), (0, 0)))
+        for f, s in zip(slabs, shapes)
+    ])                                                       # [5,Hmax,Wmax,C]
 
     levels = fpn_level_assignment(
         rois, 2, 5, canonical_size, canonical_level)         # [R] in 2..5
-    li = levels - 2
+    # smallest level whose stride fits max(w,h) inside the window
+    span_px = jnp.maximum(rois[..., 2] - rois[..., 0],
+                          rois[..., 3] - rois[..., 1])
+    fit = jnp.ceil(jnp.log2(jnp.maximum(span_px / (window - 2.0), 1e-6)))
+    levels = jnp.clip(jnp.maximum(levels, fit.astype(jnp.int32)), 2, 6)
+    li = levels - 2                                           # [R] in 0..4
     tbl = lambda vals: jnp.asarray(vals, jnp.float32)[li]     # [R]
     level_w = tbl([s[1] for s in shapes])
     level_h = tbl([s[0] for s in shapes])
-    stride_per_roi = tbl([float(strides[n]) for n in names])
+    stride_per_roi = tbl([float(strides[n]) for n in names]
+                         + [2.0 * strides["p5"]])
 
     xs, ys = _sample_grid(rois, stride_per_roi, output_size, samples_per_bin)
     # clamp samples into the level extent (border replication, aligned=True)
