@@ -50,8 +50,16 @@ def main() -> None:
     images = jnp.asarray(rng.integers(
         0, 255, (batch, h, w, 3)).astype(np.float32))
 
+    def _force(out):
+        """Tiny in-graph scalar depending on every output leaf — the host
+        pulls 4 bytes, so timing = real execution, not dispatch (the remote
+        axon plugin's block_until_ready returns before execution ends)."""
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "dtype")]
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
     def feats_fn(params, images):
-        return model.apply(params, images, method=MaskRCNN._features)
+        return _force(model.apply(params, images, method=MaskRCNN._features))
 
     def rpn_fn(params, images):
         def run(mdl, images):
@@ -60,15 +68,15 @@ def main() -> None:
             anchors = mdl._anchors((h, w))
             return generate_proposals(obj, deltas, anchors, (h, w),
                                       cfg.model, training=False)
-        return model.apply(params, images, method=run)
+        return _force(model.apply(params, images, method=run))
 
     def dets_fn(params, images):
         dets, _ = model.apply(params, images, method=MaskRCNN.inference,
                               with_mask_logits=False)
-        return dets
+        return _force(dets)
 
     def full_fn(params, images):
-        return model.apply(params, images, method=MaskRCNN.inference)
+        return _force(model.apply(params, images, method=MaskRCNN.inference))
 
     stages = [
         ("backbone+fpn", feats_fn),
@@ -79,13 +87,11 @@ def main() -> None:
 
     def timeit(fn, n=6):
         jfn = jax.jit(fn)
-        out = jfn(params, images)
-        jax.block_until_ready(out)
+        np.asarray(jfn(params, images))   # compile + 4-byte sync pull
         best = float("inf")
         for _ in range(n):
             t = time.perf_counter()
-            out = jfn(params, images)
-            jax.block_until_ready(out)
+            np.asarray(jfn(params, images))
             best = min(best, time.perf_counter() - t)
         return best
 

@@ -85,6 +85,15 @@ class InputConfig:
     train_size: Tuple[int, int] = (800, 800)    # exact resize, nn_train.py:135
     test_short_edge: int = 800
     test_max_size: int = 1333
+    # resize on host before the device transfer (what the reference's
+    # DefaultPredictor does: ResizeShortestEdge runs on CPU and the RESIZED
+    # image ships to the accelerator — and it ships float32, we ship uint8).
+    # Shipping the smaller resized image wins whenever the host→device link
+    # is slower than host resize throughput (always true on remote-attached
+    # TPUs: measured 34 MB/s tunnel vs ~1 GB/s/core PIL). False = ship raw
+    # pixels and resample on device (round-1 design; best on local hosts
+    # with weak CPUs).
+    host_resize: bool = True
     # static padded canvas (multiple of 128 for clean TPU tiling; >= max test dims)
     pad_size_train: Tuple[int, int] = (800, 800)
     pad_size_test: Tuple[int, int] = (1024, 1344)

@@ -36,16 +36,34 @@ class Predictor:
     over folders of images (nn_inference.py:319 loop).
     """
 
-    def __init__(self, cfg: Config, params, mask_postprocess: bool = True):
+    def __init__(self, cfg: Config, params, mask_postprocess: bool = True,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — batches are sharded
+        over its data axis (one image slice per chip, params replicated),
+        so folder inference scales across a slice with zero model-code
+        change; the batch size must then be a multiple of the data-axis
+        size.  Default: single-chip."""
         self.cfg = cfg
         self.model = MaskRCNN(cfg.model)
-        self.params = params
         self.mask_postprocess = mask_postprocess
         self.pad_h, self.pad_w = cfg.input.pad_size_test
-        # host canvas: images are padded (not resized) before transfer, the
-        # device applies the dynamic-scale resample. Canvas must fit raw
-        # inputs after the scale-to-fit preclamp below.
-        self._jit_run = jax.jit(self._run)
+        self.mesh = mesh
+        if mesh is not None:
+            from uwcv_tpu.parallel.mesh import batch_sharding, replicate
+
+            self.params = replicate(params, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+            self._jit_run = jax.jit(
+                self._run,
+                in_shardings=(self._batch_sharding, self._batch_sharding,
+                              self._batch_sharding))
+        else:
+            self.params = params
+            self._batch_sharding = None
+            # host canvas: images are padded (not resized) before transfer,
+            # the device applies the dynamic-scale resample. Canvas must fit
+            # raw inputs after the scale-to-fit preclamp below.
+            self._jit_run = jax.jit(self._run)
 
     # -------- device program --------
 
@@ -112,17 +130,34 @@ class Predictor:
     # -------- host API --------
 
     def _prepare(self, image_rgb: np.ndarray):
+        """Returns (ship_image, device_scale, unmap_scale, out_size).
+
+        ``device_scale`` feeds the on-device resample; ``unmap_scale`` maps
+        predicted boxes back to original-image pixels (they differ when the
+        resize already happened on the host).
+        """
         h, w = image_rgb.shape[:2]
         scale = shortest_edge_scale(
             h, w, self.cfg.input.test_short_edge, self.cfg.input.test_max_size)
         # ensure the scaled image fits the static pad; shrink further if not
         scale = min(scale, self.pad_h / h, self.pad_w / w)
-        canvas_h = int(np.ceil(self.pad_h / scale))
-        canvas_w = int(np.ceil(self.pad_w / scale))
-        padded = pad_to_canvas(image_rgb, canvas_h, canvas_w)
         out_h = min(int(round(h * scale)), self.pad_h)
         out_w = min(int(round(w * scale)), self.pad_w)
-        return padded, scale, (out_h, out_w)
+        if self.cfg.input.host_resize and scale != 1.0:
+            # resize on host (reference DefaultPredictor behavior) — ships
+            # scale² fewer pixels over the host-device link, which is the
+            # measured bottleneck on remote-attached TPUs (PERF.md)
+            from PIL import Image
+
+            im = Image.fromarray(image_rgb).resize(
+                (out_w, out_h), Image.BILINEAR)
+            return np.asarray(im), 1.0, scale, (out_h, out_w)
+        # ship raw pixels at their true size (batch-max, bucketed);
+        # scale_and_translate resamples into the static pad canvas and
+        # fills 0 beyond the input extent — padding the host canvas to
+        # pad/scale (round-1 design) shipped up to 2x more bytes for
+        # identical output
+        return image_rgb, scale, scale, (out_h, out_w)
 
     def predict_batch_device(self, images_rgb: Sequence[np.ndarray],
                              block: bool = True):
@@ -151,18 +186,23 @@ class Predictor:
         cw = -(-cw // 128) * 128
         batch = np.stack([pad_to_canvas(p[0], ch, cw) for p in prepped])
         # scale relative to the common canvas stays per-image
-        scales = jnp.asarray([p[1] for p in prepped], jnp.float32)
-        out_sizes = jnp.asarray([p[2] for p in prepped], jnp.int32)
+        scales = np.asarray([p[1] for p in prepped], np.float32)
+        out_sizes = np.asarray([p[3] for p in prepped], np.int32)
 
+        if self._batch_sharding is not None:
+            # batch-axis shards go straight to their chips (no hop via dev 0)
+            put = lambda x: jax.device_put(x, self._batch_sharding)
+        else:
+            put = jnp.asarray
         dets, masks_packed, keep = self._jit_run(
-            jnp.asarray(batch), scales, out_sizes)
+            put(batch), put(scales), put(out_sizes))
         if block:
             # sync via a tiny (3 KB) host pull: on remote-attached TPUs
             # block_until_ready can return before execution completes, which
             # would make timings dispatch-only
             np.asarray(dets.scores)
-        return dets, masks_packed, keep, [p[1] for p in prepped], \
-            [p[2] for p in prepped]
+        return dets, masks_packed, keep, [p[2] for p in prepped], \
+            [p[3] for p in prepped]
 
     def predict_batch(self, images_rgb: Sequence[np.ndarray]) -> List[Instances]:
         """Run a batch and pull results to host; input images may have
