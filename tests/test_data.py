@@ -187,3 +187,23 @@ def test_coco_roundtrip(tmp_path):
     np.testing.assert_allclose(
         loaded[0]["annotations"][0]["bbox"],
         dicts[0]["annotations"][0]["bbox"], atol=1e-6)
+
+
+def test_load_16bit_tiff(tmp_path):
+    """16-bit grayscale SEM TIFFs must scale 16->8 bit (/256, like the
+    reference's cv2.imread), not clip to white via PIL convert("RGB")."""
+    from PIL import Image
+
+    from uwcv_tpu.data.loader import load_image_rgb
+
+    grad = (np.arange(256, dtype=np.uint16)[None, :]
+            * np.ones((8, 1), np.uint16)) * 257  # 0..65535 ramp
+    path = str(tmp_path / "sem16.tif")
+    Image.fromarray(grad, mode="I;16").save(path)
+
+    img = load_image_rgb(path)
+    assert img.shape == (8, 256, 3) and img.dtype == np.uint8
+    # ramp preserved: leftmost ~0, rightmost ~255, midpoint ~128
+    assert img[0, 0, 0] == 0 and img[0, -1, 0] == 255
+    assert abs(int(img[0, 128, 0]) - 128) <= 1
+    assert len(np.unique(img[0, :, 0])) > 200  # not clipped to white

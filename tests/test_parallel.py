@@ -115,3 +115,28 @@ def test_predictor_sharded_matches_single_device():
         np.testing.assert_allclose(g.scores, r.scores, rtol=1e-4, atol=1e-4)
         assert (g.classes == r.classes).all()
         assert (g.valid == r.valid).all()
+
+
+def test_spatial_sharding_backbone_matches_replicated():
+    """Spatial (sp) parallelism: the conv trunk on images sharded
+    (batch over data, HEIGHT over model) must equal the replicated run —
+    XLA partitions the convs with halo exchanges automatically."""
+    from uwcv_tpu.models.resnet import ResNet
+    from uwcv_tpu.parallel.mesh import spatial_image_sharding
+
+    mesh = build_mesh(ParallelConfig(mesh_shape=(2, 4)))
+    assert mesh.devices.shape == (2, 4)
+
+    model = ResNet(depth=26, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))
+
+    ref = jax.jit(model.apply)(params, jnp.asarray(x))
+
+    xs = jax.device_put(x, spatial_image_sharding(mesh))
+    ps = replicate(params, mesh)
+    got = jax.jit(model.apply)(ps, xs)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)

@@ -28,10 +28,20 @@ from uwcv_tpu.data.rasterize import polygons_to_mask
 
 
 def load_image_rgb(path: str) -> np.ndarray:
-    """Decode any supported image (incl. .tif via PIL) to HWC uint8 RGB."""
+    """Decode any supported image (incl. .tif via PIL) to HWC uint8 RGB.
+
+    SEM micrographs are commonly 16-bit grayscale TIFFs; PIL's
+    ``convert("RGB")`` on I;16 modes CLIPS at 255 (mostly-white garbage).
+    Scale 16→8 bit by /256 first — the same conversion the reference's
+    ``cv2.imread`` default applies to 16-bit inputs (nn_inference.py:321
+    reads with cv2)."""
     from PIL import Image
 
     with Image.open(path) as im:
+        if im.mode in ("I;16", "I;16B", "I;16L", "I;16N", "I"):
+            arr = np.asarray(im, dtype=np.uint32)
+            arr = np.right_shift(arr, 8).clip(0, 255).astype(np.uint8)
+            im = Image.fromarray(arr)
         im = im.convert("RGB")
         return np.asarray(im, dtype=np.uint8)
 

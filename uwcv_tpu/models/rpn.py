@@ -80,6 +80,15 @@ def generate_proposals(
     post_k = (cfg.rpn_post_nms_topk_train if training
               else cfg.rpn_post_nms_topk_test)
 
+    # proposal selection carries no gradients (Detectron2 decorates
+    # find_top_rpn_proposals with @torch.no_grad(): RPN learns only from its
+    # own losses; the ROI heads treat proposals as fixed training data).
+    # This also keeps autodiff out of the Pallas NMS kernel, which has no
+    # JVP rule — differentiating through it raises "Linearization failed"
+    # when the candidate count fits the kernel's n<=1024 window.
+    obj = jax.lax.stop_gradient(obj)
+    deltas = jax.lax.stop_gradient(deltas)
+
     def per_image(obj_i, deltas_i):
         cand_boxes, cand_scores, cand_level = [], [], []
         for li, name in enumerate(LEVELS):

@@ -41,6 +41,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(mesh.axis_names[0]))
 
 
+def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
+    """[B,H,W,C] images: batch over the data axis AND height over the model
+    axis — spatial parallelism for the conv trunk.
+
+    Convolutions on spatially-sharded inputs are partitioned by XLA's SPMD
+    pass with automatic halo exchanges over ICI; nothing in model code
+    changes.  This is the scaling path for giant SEM micrographs whose
+    activations exceed one chip's HBM (SURVEY.md §5 "long-context analog":
+    the scale axis of this domain is image resolution).  Detection-head ops
+    (top-k, NMS, gathers) prefer replicated spatial dims; XLA inserts the
+    all-gather where the sharded trunk meets them."""
+    return NamedSharding(mesh, P(mesh.axis_names[0], mesh.axis_names[1]))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
