@@ -211,8 +211,15 @@ class Predictor:
         Host canvases are grouped to one static size per call (the max over
         the batch) so each distinct folder shape compiles once.
         """
-        dets, masks_packed, keep, scales_list, out_sizes_list = \
-            self.predict_batch_device(images_rgb)
+        return self.to_instances(self.predict_batch_device(images_rgb))
+
+    def to_instances(self, device_out) -> List[Instances]:
+        """Pull a ``predict_batch_device`` result to host Instances.
+
+        Split from dispatch so callers can software-pipeline: dispatch
+        batch i+1 (async), then pull batch i while i+1 computes — the
+        folder-inference driver does this (engine/batch_inference.py)."""
+        dets, masks_packed, keep, scales_list, out_sizes_list = device_out
 
         # single host pull per field (every extra device op here is a
         # dispatch round-trip on remote-attached TPUs), then C-speed

@@ -86,8 +86,11 @@ def generate_proposals(
     # This also keeps autodiff out of the Pallas NMS kernel, which has no
     # JVP rule — differentiating through it raises "Linearization failed"
     # when the candidate count fits the kernel's n<=1024 window.
-    obj = jax.lax.stop_gradient(obj)
-    deltas = jax.lax.stop_gradient(deltas)
+    # Train-only: in inference it would be a no-op that still changes the
+    # HLO hash and forces a pointless recompile of the predictor program.
+    if training:
+        obj = jax.lax.stop_gradient(obj)
+        deltas = jax.lax.stop_gradient(deltas)
 
     def per_image(obj_i, deltas_i):
         cand_boxes, cand_scores, cand_level = [], [], []
