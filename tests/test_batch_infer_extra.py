@@ -100,3 +100,42 @@ def test_union_masks_dump(tmp_path):
                              classes_of_interest=[2])
     out = np.asarray(Image.open(paths[0]).convert("L"))
     assert out[20, 20] > 128 and out[5, 5] < 64
+
+
+def test_grayscale_transfer_fast_path():
+    """Grayscale batches (SEM norm) ship one channel and must be
+    bit-identical to the 3-channel path."""
+    import jax
+
+    from uwcv_tpu.config import Config
+    from uwcv_tpu.engine.predictor import Predictor
+    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
+
+    cfg = Config()
+    cfg.model.depth = 26
+    cfg.model.dtype = "float32"
+    cfg.model.rpn_pre_nms_topk_test = 64
+    cfg.model.rpn_post_nms_topk_test = 32
+    cfg.model.nms_candidates_test = 64
+    cfg.model.detections_per_image = 8
+    cfg.input.pad_size_test = (96, 96)
+    cfg.input.test_short_edge = 96
+    cfg.input.test_max_size = 96
+
+    params = init_params(MaskRCNN(cfg.model), jax.random.key(0),
+                         init_size=64)
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 255, (96, 96, 1)).astype(np.uint8)
+    img = np.repeat(gray, 3, axis=-1)
+
+    pred = Predictor(cfg, params)
+    ref_out = pred.predict_batch_device([img])
+    assert ref_out[0].boxes is not None
+    # the fast path really shipped 1 channel: the jit saw a [.,.,.,1] input
+    fast = pred.predict_batch([img])[0]
+
+    pred.cfg.input.grayscale_transfer = False
+    slow = pred.predict_batch([img])[0]
+    np.testing.assert_allclose(fast.boxes, slow.boxes, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(fast.scores, slow.scores, rtol=1e-6, atol=1e-6)
+    assert (fast.valid == slow.valid).all()

@@ -174,3 +174,63 @@ def test_import_torch_weights_no_match_raises(tmp_path, tiny_model_and_params):
     torch.save({"unrelated.weight": torch.zeros(3)}, str(path))
     with pytest.raises(ValueError, match="no weights matched"):
         import_torch_weights(str(path), params, cfg)
+
+
+def test_faster_rcnn_box_only(tmp_path):
+    """mask_on=False (Faster R-CNN family): inference returns box-only
+    detections (no mask program at all) and the train step omits the mask
+    loss — the zoo-config sibling of the reference's Mask R-CNN."""
+    from uwcv_tpu.config import Config
+    from uwcv_tpu.engine.predictor import Predictor
+    from uwcv_tpu.engine.trainer import Trainer
+    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
+
+    cfg = Config()
+    cfg.model.depth = 26
+    cfg.model.dtype = "float32"
+    cfg.model.mask_on = False
+    cfg.model.rpn_pre_nms_topk_train = 64
+    cfg.model.rpn_post_nms_topk_train = 32
+    cfg.model.rpn_batch_size_per_image = 16
+    cfg.model.roi_batch_size_per_image = 8
+    cfg.model.rpn_pre_nms_topk_test = 64
+    cfg.model.rpn_post_nms_topk_test = 32
+    cfg.model.nms_candidates_test = 64
+    cfg.model.detections_per_image = 8
+    cfg.input.train_size = (64, 64)
+    cfg.input.pad_size_test = (64, 64)
+    cfg.input.test_short_edge = 64
+    cfg.input.test_max_size = 64
+    cfg.input.max_gt_instances = 4
+    cfg.solver.ims_per_batch = 1
+    cfg.output_dir = str(tmp_path)
+
+    params = init_params(MaskRCNN(cfg.model), jax.random.key(0),
+                         init_size=64)
+    # no mask-head params exist at all
+    assert "mask_head" not in params["params"]
+
+    pred = Predictor(cfg, params)
+    img = np.random.default_rng(0).integers(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    inst = pred(img)
+    assert inst.masks is None
+    assert inst.boxes.shape[-1] == 4
+
+    trainer = Trainer(cfg)
+    trainer.init_state()
+    s, n = 64, cfg.input.max_gt_instances
+    masks = np.zeros((1, n, s, s), bool)
+    masks[:, 0, 16:48, 16:48] = True
+    batch = {
+        "image": np.zeros((1, s, s, 3), np.uint8),
+        "boxes": np.tile(np.array([[16.0, 16.0, 48.0, 48.0]], np.float32),
+                         (1, n, 1)),
+        "classes": np.zeros((1, n), np.int32),
+        "valid": np.tile(np.array([True] + [False] * (n - 1)), (1, 1)),
+        "masks_packed": np.packbits(masks, axis=-1),
+    }
+    state, metrics = trainer._step_fn(trainer.state, batch, jax.random.key(0))
+    jax.block_until_ready(metrics)
+    assert "mask" not in metrics
+    assert np.isfinite(float(metrics["total_loss"]))

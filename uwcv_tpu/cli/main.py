@@ -158,6 +158,23 @@ def cmd_hpo(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    cfg = _build_cfg(args)
+    from uwcv_tpu.engine.export import export_predictor
+    from uwcv_tpu.engine.predictor import load_predictor
+
+    if not cfg.weights:
+        default = os.path.join(cfg.output_dir, "model_final")
+        if os.path.isdir(default):
+            cfg.weights = default
+    predictor = load_predictor(cfg)
+    path = export_predictor(predictor, args.path,
+                            batch_size=args.batch_size)
+    mb = os.path.getsize(path) / 1e6
+    print(f"wrote {path} ({mb:.1f} MB, batch {args.batch_size})")
+    return 0
+
+
 def cmd_synth(args) -> int:
     from uwcv_tpu.data.synthetic import generate_dataset
 
@@ -207,6 +224,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--trials", type=int, default=8)
     p.add_argument("--trial-iters", type=int, default=100)
     p.set_defaults(fn=cmd_hpo)
+
+    p = sub.add_parser(
+        "export", help="serialize the inference program (weights baked) "
+                       "to a portable StableHLO artifact for serving")
+    _add_common(p)
+    p.add_argument("--path", default="./output/predictor.stablehlo")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("synth", help="generate synthetic demo dataset")
     p.add_argument("--root", default="./DATASET")

@@ -94,6 +94,11 @@ class InputConfig:
     # pixels and resample on device (round-1 design; best on local hosts
     # with weak CPUs).
     host_resize: bool = True
+    # ship ONE channel when every image in the batch is grayscale (R==G==B —
+    # the norm for SEM micrographs); the device re-broadcasts to RGB before
+    # the model.  3× fewer bytes over the host-device link, bit-identical
+    # results.
+    grayscale_transfer: bool = True
     # static padded canvas (multiple of 128 for clean TPU tiling; >= max test dims)
     pad_size_train: Tuple[int, int] = (800, 800)
     pad_size_test: Tuple[int, int] = (1024, 1344)

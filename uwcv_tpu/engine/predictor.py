@@ -65,13 +65,39 @@ class Predictor:
             # raw inputs after the scale-to-fit preclamp below.
             self._jit_run = jax.jit(self._run)
 
+    @classmethod
+    def from_exported(cls, cfg: Config, path: str) -> "Predictor":
+        """Serve a ``jax.export``ed inference artifact (engine/export.py):
+        same host API, but the device program — weights included — loads
+        from disk with no model build, no retrace, no params.  Batches
+        smaller than the exported batch size are padded in and sliced out;
+        images must fit the exported canvas."""
+        from uwcv_tpu.engine.export import load_exported
+
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.model = None
+        self.params = None
+        self.mask_postprocess = True   # baked into the exported program
+        self.pad_h, self.pad_w = cfg.input.pad_size_test
+        self.mesh = None
+        self._batch_sharding = None
+        self._jit_run, self.exported_batch, self.exported_canvas = \
+            load_exported(path)
+        return self
+
     # -------- device program --------
 
     def _run(self, images: jnp.ndarray, scales: jnp.ndarray,
              out_sizes: jnp.ndarray):
-        """images [B,Hc,Wc,3] uint8 host-padded; scales [B]; out_sizes [B,2]
-        (true resized h,w) → padded detections + full-size masks."""
+        """images [B,Hc,Wc,3|1] uint8 host-padded; scales [B]; out_sizes
+        [B,2] (true resized h,w) → padded detections + full-size masks.
+        1-channel inputs are the grayscale-transfer fast path (the host
+        ships one channel for grayscale batches); re-broadcast to RGB."""
         cfg = self.cfg
+        if images.shape[-1] == 1:
+            images = jnp.broadcast_to(
+                images, images.shape[:-1] + (3,))
 
         def resize_one(img, scale):
             return jax.image.scale_and_translate(
@@ -185,6 +211,13 @@ class Predictor:
         ch = -(-ch // 128) * 128
         cw = -(-cw // 128) * 128
         batch = np.stack([pad_to_canvas(p[0], ch, cw) for p in prepped])
+        if (self.cfg.input.grayscale_transfer and batch.shape[-1] == 3
+                and all(np.array_equal(p[0][..., 0], p[0][..., 1])
+                        and np.array_equal(p[0][..., 0], p[0][..., 2])
+                        for p in prepped)):
+            # grayscale batch (SEM norm): ship one channel, 3× fewer bytes
+            # over the link; _run re-broadcasts to RGB on device
+            batch = batch[..., :1]
         # scale relative to the common canvas stays per-image
         scales = np.asarray([p[1] for p in prepped], np.float32)
         out_sizes = np.asarray([p[3] for p in prepped], np.int32)
