@@ -207,3 +207,23 @@ def test_load_16bit_tiff(tmp_path):
     assert img[0, 0, 0] == 0 and img[0, -1, 0] == 255
     assert abs(int(img[0, 128, 0]) - 128) <= 1
     assert len(np.unique(img[0, :, 0])) > 200  # not clipped to white
+
+
+def test_load_32bit_container_tiff(tmp_path):
+    """PIL mode 'I' (32-bit container): scale by observed range, don't
+    blindly assume 16-bit (values <=255 must pass through unchanged)."""
+    from PIL import Image
+
+    from uwcv_tpu.data.loader import load_image_rgb
+
+    small = np.arange(256, dtype=np.int32)[None, :] * np.ones((4, 1), np.int32)
+    p1 = str(tmp_path / "i32_small.tif")
+    Image.fromarray(small, mode="I").save(p1)
+    img = load_image_rgb(p1)
+    assert img[0, 200, 0] == 200  # NOT 200>>8 == 0
+
+    big = small * 257  # 16-bit-range data in an I container
+    p2 = str(tmp_path / "i32_16bitrange.tif")
+    Image.fromarray(big, mode="I").save(p2)
+    img2 = load_image_rgb(p2)
+    assert img2[0, -1, 0] == 255 and img2[0, 0, 0] == 0

@@ -60,3 +60,23 @@ def test_export_roundtrip(tmp_path):
     for r, g in zip(ref[:2], got2):
         np.testing.assert_allclose(g.boxes, r.boxes, rtol=1e-5, atol=1e-4)
         assert (g.valid == r.valid).all()
+
+
+def test_export_serves_grayscale_fast_path(tmp_path):
+    """Grayscale batches ship 1 channel (predictor fast path); the loader
+    wrapper must re-broadcast before the 3-channel exported program."""
+    cfg = _tiny_cfg()
+    params = init_params(MaskRCNN(cfg.model), jax.random.key(0),
+                         init_size=64)
+    live = Predictor(cfg, params)
+    path = str(tmp_path / "pred.stablehlo")
+    export_predictor(live, path, batch_size=2)
+    served = Predictor.from_exported(cfg, path)
+
+    rng = np.random.default_rng(1)
+    gray = np.repeat(rng.integers(0, 255, (96, 96, 1)).astype(np.uint8),
+                     3, axis=-1)
+    ref = live.predict_batch([gray])[0]
+    got = served.predict_batch([gray])[0]
+    np.testing.assert_allclose(got.boxes, ref.boxes, rtol=1e-5, atol=1e-4)
+    assert (got.valid == ref.valid).all()

@@ -24,11 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     import jax
 
-    if os.environ.get("UWCV_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["UWCV_PLATFORM"])
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/uwcv_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from uwcv_tpu.utils.platform import setup_jax
+
+    setup_jax()
 
     import jax.numpy as jnp
     import numpy as np

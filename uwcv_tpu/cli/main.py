@@ -22,22 +22,12 @@ from uwcv_tpu.config import Config, get_config
 
 
 def _apply_platform_env() -> None:
-    """Honor UWCV_PLATFORM=cpu|tpu|... before any backend initializes.
+    """UWCV_PLATFORM override + persistent compile cache — called lazily by
+    every jax-using subcommand (NOT at main(): `uwcv synth` and argparse
+    error paths must not pay the multi-second jax import)."""
+    from uwcv_tpu.utils.platform import setup_jax
 
-    Some TPU plugins (the axon remote-attach plugin here) pin JAX_PLATFORMS
-    via sitecustomize and ignore the inherited env var, so plain
-    ``JAX_PLATFORMS=cpu uwcv ...`` silently lands on the TPU;
-    ``jax.config.update`` wins over the pin.  Also enables the persistent
-    compilation cache — the R-CNN graphs take minutes to compile and every
-    CLI invocation is a fresh process."""
-    import jax
-
-    platform = os.environ.get("UWCV_PLATFORM")
-    if platform:
-        jax.config.update("jax_platforms", platform)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/uwcv_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    setup_jax()
 
 
 def _add_common(p: argparse.ArgumentParser):
@@ -69,6 +59,7 @@ def _load_dataset(cfg: Config, split: str, data_dir: Optional[str]):
 
 
 def cmd_train(args) -> int:
+    _apply_platform_env()
     cfg = _build_cfg(args)
     from uwcv_tpu.data.loader import TrainLoader
     from uwcv_tpu.engine.trainer import Trainer
@@ -88,6 +79,7 @@ def cmd_train(args) -> int:
 
 
 def cmd_infer(args) -> int:
+    _apply_platform_env()
     cfg = _build_cfg(args)
     from uwcv_tpu.engine.batch_inference import (
         run_batch_inference,
@@ -118,6 +110,7 @@ def cmd_infer(args) -> int:
 
 
 def cmd_measure(args) -> int:
+    _apply_platform_env()
     # identical flow but measurement-only (no RLE CSV consumers rely on it)
     args.no_measure = False
     args.plots = True
@@ -125,6 +118,7 @@ def cmd_measure(args) -> int:
 
 
 def cmd_eval(args) -> int:
+    _apply_platform_env()
     cfg = _build_cfg(args)
     import numpy as np
 
@@ -148,6 +142,7 @@ def cmd_eval(args) -> int:
 
 
 def cmd_hpo(args) -> int:
+    _apply_platform_env()
     cfg = _build_cfg(args)
     from uwcv_tpu.hpo.study import run_reference_hpo
 
@@ -159,6 +154,7 @@ def cmd_hpo(args) -> int:
 
 
 def cmd_export(args) -> int:
+    _apply_platform_env()
     cfg = _build_cfg(args)
     from uwcv_tpu.engine.export import export_predictor
     from uwcv_tpu.engine.predictor import load_predictor
@@ -186,7 +182,6 @@ def cmd_synth(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    _apply_platform_env()
     parser = argparse.ArgumentParser(
         prog="uwcv", description="TPU-native instance-segmentation framework")
     sub = parser.add_subparsers(dest="command", required=True)

@@ -38,10 +38,21 @@ def load_image_rgb(path: str) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
-        if im.mode in ("I;16", "I;16B", "I;16L", "I;16N", "I"):
+        if im.mode in ("I;16", "I;16B", "I;16L", "I;16N"):
             arr = np.asarray(im, dtype=np.uint32)
             arr = np.right_shift(arr, 8).clip(0, 255).astype(np.uint8)
             im = Image.fromarray(arr)
+        elif im.mode == "I":
+            # 32-bit int container: usually 16-bit TIFF data, but can hold
+            # true 32-bit or already-8-bit values — scale by observed range
+            # instead of assuming 16 bits
+            arr = np.asarray(im, dtype=np.int64).clip(0, None)
+            peak = int(arr.max()) if arr.size else 0
+            if peak > 65535:
+                arr = arr * (255.0 / peak)
+            elif peak > 255:
+                arr = np.right_shift(arr, 8)
+            im = Image.fromarray(arr.clip(0, 255).astype(np.uint8))
         im = im.convert("RGB")
         return np.asarray(im, dtype=np.uint8)
 

@@ -96,6 +96,7 @@ def run_batch_inference(
     predictions: Dict[str, Dict[str, np.ndarray]] = {}
 
     def consume(chunk, images, device_out) -> None:
+        # zip() drops any tail padding: chunk/images keep their true length
         for path, img, inst in zip(chunk, images,
                                    predictor.to_instances(device_out)):
             inst_np = inst.to_numpy()
@@ -136,7 +137,16 @@ def run_batch_inference(
             images = nxt.result()
             if ci + 1 < len(chunks):
                 nxt = pool.submit(decode, chunks[ci + 1])
-            device_out = predictor.predict_batch_device(images, block=False)
+            run_images = images
+            if predictor.mesh is not None and len(images) % \
+                    predictor.mesh.shape[predictor.mesh.axis_names[0]]:
+                # a sharded batch must tile the data axis: pad the tail
+                # chunk by repeating the last image (consume() zips it away)
+                d = predictor.mesh.shape[predictor.mesh.axis_names[0]]
+                pad = -len(images) % d
+                run_images = images + [images[-1]] * pad
+            device_out = predictor.predict_batch_device(run_images,
+                                                        block=False)
             if pending is not None:
                 consume(*pending)
             pending = (chunk, images, device_out)

@@ -77,6 +77,11 @@ def load_exported(path: str):
         assert n <= b, f"exported for batch {b}, got {n}"
         assert images.shape[1] <= ch and images.shape[2] <= cw, (
             f"exported for canvas {(ch, cw)}, got {images.shape[1:3]}")
+        if images.shape[-1] == 1:
+            # grayscale-transfer fast path: the host ships one channel
+            # (predictor.py); the exported program is fixed at 3 — the
+            # broadcast runs device-side, after the link was crossed 1ch
+            images = jnp.broadcast_to(images, images.shape[:-1] + (3,))
         if n < b or images.shape[1:3] != (ch, cw):
             images = jnp.pad(images, ((0, b - n), (0, ch - images.shape[1]),
                                       (0, cw - images.shape[2]), (0, 0)))

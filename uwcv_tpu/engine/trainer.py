@@ -162,30 +162,35 @@ class Trainer:
         from uwcv_tpu.utils.tb_writer import SummaryWriter
 
         tb = SummaryWriter(self.cfg.output_dir)
-        with open(metrics_path, "a") as mf:
-            for i in range(start_step, max_iter):
-                batch = next(batch_iter)
-                batch = shard_batch(batch, self.mesh)
-                rng, step_rng = jax.random.split(rng)
-                self.state, metrics = self._step_fn(
-                    self.state, batch, step_rng)
-                if (i + 1) % self.cfg.solver.log_period == 0 or i + 1 == max_iter:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    m["iteration"] = i + 1
-                    m["time_per_iter"] = (time.time() - t0) / max(
-                        i + 1 - start_step, 1)
-                    mf.write(json.dumps(m) + "\n")
-                    mf.flush()
-                    tb.add_scalars(i + 1, {f"train/{k}": v
-                                           for k, v in m.items()
-                                           if k != "iteration"})
-                    log_fn(f"iter {i + 1}/{max_iter} "
-                           + " ".join(f"{k}={v:.4f}" for k, v in m.items()
-                                      if k != "iteration"))
-                if (self.cfg.solver.checkpoint_period > 0
-                        and (i + 1) % self.cfg.solver.checkpoint_period == 0):
-                    self.save_checkpoint()
-        tb.close()
+        try:
+            with open(metrics_path, "a") as mf:
+                for i in range(start_step, max_iter):
+                    batch = next(batch_iter)
+                    batch = shard_batch(batch, self.mesh)
+                    rng, step_rng = jax.random.split(rng)
+                    self.state, metrics = self._step_fn(
+                        self.state, batch, step_rng)
+                    if (i + 1) % self.cfg.solver.log_period == 0 \
+                            or i + 1 == max_iter:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        m["iteration"] = i + 1
+                        m["time_per_iter"] = (time.time() - t0) / max(
+                            i + 1 - start_step, 1)
+                        mf.write(json.dumps(m) + "\n")
+                        mf.flush()
+                        tb.add_scalars(i + 1, {f"train/{k}": v
+                                               for k, v in m.items()
+                                               if k != "iteration"})
+                        log_fn(f"iter {i + 1}/{max_iter} "
+                               + " ".join(f"{k}={v:.4f}"
+                                          for k, v in m.items()
+                                          if k != "iteration"))
+                    if (self.cfg.solver.checkpoint_period > 0
+                            and (i + 1) % self.cfg.solver.checkpoint_period
+                            == 0):
+                        self.save_checkpoint()
+        finally:
+            tb.close()
         self.save_checkpoint(final=True)
         return self.state
 

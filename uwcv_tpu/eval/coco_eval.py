@@ -141,7 +141,7 @@ class COCOEvaluator:
 
     def _areas(self, boxes: np.ndarray,
                masks: Optional[np.ndarray]) -> np.ndarray:
-        if self.iou_type == "segm" and masks is not None and len(masks):
+        if masks is not None and len(masks):
             return masks.reshape(len(masks), -1).sum(axis=1).astype(
                 np.float64)
         if len(boxes) == 0:
@@ -161,12 +161,17 @@ class COCOEvaluator:
             scores = scores[order]
             p_boxes = np.asarray(pred["boxes"])[p_sel][order]
             g_boxes = np.asarray(gt["boxes"])[g_sel]
-            p_masks = g_masks = None
+            # instance "area" is the SEGMENTATION area whenever masks exist
+            # — pycocotools uses ann['area'] (segm) for the gt area-range
+            # ignore decision even under iouType='bbox'; box area is only
+            # the fallback for box-only data
+            p_masks = (np.asarray(pred["masks"])[p_sel][order]
+                       if "masks" in pred else None)
+            g_masks = (np.asarray(gt["masks"])[g_sel]
+                       if "masks" in gt else None)
             if self.iou_type == "bbox":
                 iou = box_iou_np(p_boxes, g_boxes)
             else:
-                p_masks = np.asarray(pred["masks"])[p_sel][order]
-                g_masks = np.asarray(gt["masks"])[g_sel]
                 iou = mask_iou_np(p_masks, g_masks)
             self._entries[c].append((
                 scores, iou,
