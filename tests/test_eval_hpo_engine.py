@@ -203,10 +203,10 @@ def test_area_ranges_and_recall_rows():
     # the medium-area unmatched FP dropped too
     assert res["AP_small"] == pytest.approx(1.0, abs=1e-6)
     assert res["AP_large"] == pytest.approx(1.0, abs=1e-6)
-    assert math.isnan(res["AP_medium"])     # no medium gt
+    assert res["AP_medium"] == -1.0     # no medium gt (pycocotools -1)
     assert res["AR@1"] == pytest.approx(0.5, abs=1e-6)   # top-1 covers 1/2 gt
     assert res["AR@10"] == pytest.approx(1.0, abs=1e-6)
     assert res["AR@100"] == pytest.approx(1.0, abs=1e-6)
     assert res["AR_small"] == pytest.approx(1.0, abs=1e-6)
     assert res["AR_large"] == pytest.approx(1.0, abs=1e-6)
-    assert math.isnan(res["AR_medium"])
+    assert res["AR_medium"] == -1.0

@@ -120,8 +120,6 @@ def cmd_measure(args) -> int:
 def cmd_eval(args) -> int:
     _apply_platform_env()
     cfg = _build_cfg(args)
-    import numpy as np
-
     from uwcv_tpu.engine.predictor import load_predictor
     from uwcv_tpu.eval.coco_eval import evaluate_split
 

@@ -43,10 +43,11 @@ def export_predictor(predictor, path: str, batch_size: int = 8,
     ``path``.  ``canvas`` is the static host-ship image size — default:
     the test pad canvas rounded up to the 128-multiple bucket the host
     padding uses."""
+    from uwcv_tpu.utils.image import bucket128
+
     _register_pytrees()
     ch, cw = canvas or predictor.cfg.input.pad_size_test
-    ch = -(-ch // 128) * 128
-    cw = -(-cw // 128) * 128
+    ch, cw = bucket128(ch), bucket128(cw)
     args = (
         jax.ShapeDtypeStruct((batch_size, ch, cw, 3), jnp.uint8),
         jax.ShapeDtypeStruct((batch_size,), jnp.float32),

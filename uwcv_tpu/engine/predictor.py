@@ -169,7 +169,10 @@ class Predictor:
         scale = min(scale, self.pad_h / h, self.pad_w / w)
         out_h = min(int(round(h * scale)), self.pad_h)
         out_w = min(int(round(w * scale)), self.pad_w)
-        if self.cfg.input.host_resize and scale != 1.0:
+        if self.cfg.input.host_resize and scale < 1.0:
+            # downscales only: host-resizing an UPscale would ship scale²
+            # MORE bytes over the link this feature exists to relieve —
+            # small images ship raw and upsample on device
             # resize on host (reference DefaultPredictor behavior) — ships
             # scale² fewer pixels over the host-device link, which is the
             # measured bottleneck on remote-attached TPUs (PERF.md)
@@ -208,8 +211,9 @@ class Predictor:
         # image sizes compile O(few) programs instead of one per distinct
         # max-size (extra canvas is zeros; per-image scale/out_size are
         # unchanged, so results are identical)
-        ch = -(-ch // 128) * 128
-        cw = -(-cw // 128) * 128
+        from uwcv_tpu.utils.image import bucket128
+
+        ch, cw = bucket128(ch), bucket128(cw)
         batch = np.stack([pad_to_canvas(p[0], ch, cw) for p in prepped])
         if (self.cfg.input.grayscale_transfer and batch.shape[-1] == 3
                 and all(np.array_equal(p[0][..., 0], p[0][..., 1])

@@ -110,11 +110,17 @@ def _greedy_match(iou: np.ndarray, gt_ignore: np.ndarray):
     gt_ig_row = gt_ignore[None, :]
     for pi in range(p):
         cand = np.where(taken, -1.0, iou[pi][None, :])       # [T,G]
+        # argmax over the REVERSED axis: pycocotools' inner loop uses
+        # `if iou < best: continue`, so a later gt with an EQUAL IoU
+        # replaces the match — last tied gt wins, and on exact ties (common
+        # with small bitmasks) first-wins changes TP counts, not just ids
+        last_argmax = lambda a: a.shape[1] - 1 - np.argmax(a[:, ::-1],
+                                                           axis=1)
         real = np.where(gt_ig_row, -1.0, cand)
-        gi_r = real.argmax(axis=1)
+        gi_r = last_argmax(real)
         ok_r = real[t_idx, gi_r] >= IOU_THRESHOLDS
         ign = np.where(gt_ig_row, cand, -1.0)
-        gi_i = ign.argmax(axis=1)
+        gi_i = last_argmax(ign)
         ok_i = ~ok_r & (ign[t_idx, gi_i] >= IOU_THRESHOLDS)
         ok = ok_r | ok_i
         gi = np.where(ok_r, gi_r, gi_i)
@@ -161,12 +167,13 @@ class COCOEvaluator:
             scores = scores[order]
             p_boxes = np.asarray(pred["boxes"])[p_sel][order]
             g_boxes = np.asarray(gt["boxes"])[g_sel]
-            # instance "area" is the SEGMENTATION area whenever masks exist
-            # — pycocotools uses ann['area'] (segm) for the gt area-range
-            # ignore decision even under iouType='bbox'; box area is only
-            # the fallback for box-only data
+            # areas, pycocotools-faithful: GT ignore uses ann['area'] (the
+            # SEGMENTATION area) whenever masks exist, under either iouType;
+            # DETECTION area follows the result format (loadRes): box area
+            # for bbox eval, mask area for segm eval
             p_masks = (np.asarray(pred["masks"])[p_sel][order]
-                       if "masks" in pred else None)
+                       if self.iou_type == "segm" and "masks" in pred
+                       else None)
             g_masks = (np.asarray(gt["masks"])[g_sel]
                        if "masks" in gt else None)
             if self.iou_type == "bbox":
@@ -236,9 +243,12 @@ class COCOEvaluator:
                 ar_rng[name][c] = tps / num_gt
 
         def nanmean(x) -> float:
+            # undefined rows (no gt in the bucket) report -1.0 like
+            # pycocotools' summarize — NaN would also make the JSON
+            # artifacts unparseable by strict consumers
             with np.errstate(invalid="ignore"):
                 v = np.nanmean(x)
-            return float(v) if np.isfinite(v) else float("nan")
+            return float(v) if np.isfinite(v) else -1.0
 
         results = {
             "AP": nanmean(ap["all"]),
@@ -257,7 +267,8 @@ class COCOEvaluator:
         with np.errstate(invalid="ignore"):
             per_class_ap = np.nanmean(ap["all"], axis=1)
         for c in range(n_cls):
-            results[f"AP_class{c}"] = float(per_class_ap[c])
+            v = float(per_class_ap[c])
+            results[f"AP_class{c}"] = v if np.isfinite(v) else -1.0
         return results
 
 

@@ -347,9 +347,9 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
                 res = evaluate_split(tcfg, eval_dicts, params=params,
                                      max_images=eval_max_images)
                 v = res["segm"]["AP"]
-                if not math.isfinite(v):
+                if not math.isfinite(v) or v < 0:   # -1 = undefined row
                     v = res["bbox"]["AP"]
-                return v if math.isfinite(v) else 0.0
+                return v if math.isfinite(v) and v >= 0 else 0.0
             value = float(np.mean(losses)) if losses else float("inf")
             return value if math.isfinite(value) else 1e9
         finally:

@@ -58,3 +58,12 @@ def device_resize(
         method="bilinear",
         antialias=antialias,
     )
+
+
+def bucket128(v: int) -> int:
+    """Round up to the 128-multiple host-canvas bucket.
+
+    One definition shared by Predictor.predict_batch_device and
+    engine/export.py — an exported artifact's canvas must keep matching the
+    live host bucketing or from_exported fails on wide images."""
+    return -(-v // 128) * 128
