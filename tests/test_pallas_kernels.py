@@ -48,3 +48,35 @@ def test_pallas_nms_chain_suppression():
     valid = jnp.ones((3,), bool)
     keep = np.asarray(nms_fixpoint_pallas(boxes, valid, 0.2, interpret=True))
     assert list(keep) == [True, False, True]
+
+
+def test_pallas_roi_align_matches_xla():
+    """Fused batched RoIAlign kernel (interpret mode) vs the vmapped XLA
+    windowed path — must agree to float tolerance incl. the virtual-p6
+    bump for oversized rois."""
+    from uwcv_tpu.ops.roi_align import (
+        multilevel_roi_align,
+        multilevel_roi_align_batched,
+    )
+
+    rng = np.random.default_rng(5)
+    B, C = 2, 8
+    feats = {f"p{l}": jnp.asarray(rng.normal(
+        0, 1, (B, 256 >> (l - 2), 320 >> (l - 2), C)).astype(np.float32))
+        for l in range(2, 6)}
+    strides = {f"p{l}": 2 ** l for l in range(2, 6)}
+    boxes = []
+    for _ in range(B):
+        ctr = rng.uniform(60, 900, (15, 2))
+        wh = rng.uniform(16, 400, (15, 2))
+        bx = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1)
+        bx = np.concatenate([bx, [[10, 200, 1000, 230]]])  # image-wide bar
+        boxes.append(bx)
+    rois = jnp.asarray(np.stack(boxes).astype(np.float32))
+
+    ref = jax.vmap(lambda f, r: multilevel_roi_align(f, r, strides, 7))(
+        feats, rois)
+    got = multilevel_roi_align_batched(feats, rois, strides, 7,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -38,7 +38,10 @@ from uwcv_tpu.models.resnet import ResNet
 from uwcv_tpu.models.rpn import LEVELS, Proposals, RPNHead, generate_proposals
 from uwcv_tpu.ops.mask_paste import crop_and_resize_masks
 from uwcv_tpu.ops.matcher import match_boxes, subsample_labels
-from uwcv_tpu.ops.roi_align import multilevel_roi_align
+from uwcv_tpu.ops.roi_align import (
+    multilevel_roi_align,
+    multilevel_roi_align_batched,
+)
 from uwcv_tpu.structures.boxes import encode_deltas
 
 STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
@@ -99,33 +102,41 @@ class MaskRCNN(nn.Module):
         proposals = generate_proposals(
             obj, deltas, anchors, (h, w), self.cfg, training=False)
 
-        def per_image(feats_i, prop_boxes, prop_valid):
-            pooled = multilevel_roi_align(
-                feats_i, prop_boxes, STRIDES,
-                self.cfg.pooler_resolution_box,
-                self.cfg.canonical_box_size, self.cfg.canonical_level)
-            logits, box_deltas = self.box_head(pooled)
-            return inference_detections(
-                prop_boxes, prop_valid, logits, box_deltas, (h, w), self.cfg)
-
+        # batched pooler: the fused Pallas kernel on TPU (2.3× the vmapped
+        # XLA path, PERF.md), and the heads see one [B·K, ...] batch —
+        # bigger matmuls than per-image vmapping
         feats_per_img = {k: feats[k] for k in ("p2", "p3", "p4", "p5")}
-        dets = jax.vmap(per_image)(feats_per_img, proposals.boxes,
-                                   proposals.valid)
+        pooled = multilevel_roi_align_batched(
+            feats_per_img, proposals.boxes, STRIDES,
+            self.cfg.pooler_resolution_box,
+            self.cfg.canonical_box_size, self.cfg.canonical_level)
+        k = pooled.shape[1]
+        logits, box_deltas = self.box_head(
+            pooled.reshape((b * k,) + pooled.shape[2:]))
+        logits = logits.reshape(b, k, -1)
+        box_deltas = box_deltas.reshape(b, k, self.cfg.num_classes, 4)
+
+        def per_image(prop_boxes, prop_valid, logits_i, deltas_i):
+            return inference_detections(
+                prop_boxes, prop_valid, logits_i, deltas_i, (h, w), self.cfg)
+
+        dets = jax.vmap(per_image)(proposals.boxes, proposals.valid,
+                                   logits, box_deltas)
 
         mask_probs = None
         if self.cfg.mask_on and with_mask_logits:
-            def mask_per_image(feats_i, det: Detections):
-                pooled = multilevel_roi_align(
-                    feats_i, det.boxes, STRIDES,
-                    self.cfg.pooler_resolution_mask,
-                    self.cfg.canonical_box_size, self.cfg.canonical_level)
-                logits = self.mask_head(pooled)       # [D,28,28,C]
-                sel = jax.nn.one_hot(det.classes, self.cfg.num_classes,
-                                     dtype=logits.dtype)
-                per_class = jnp.einsum("dhwc,dc->dhw", logits, sel)
-                return jax.nn.sigmoid(per_class)
-
-            mask_probs = jax.vmap(mask_per_image)(feats_per_img, dets)
+            pooled_m = multilevel_roi_align_batched(
+                feats_per_img, dets.boxes, STRIDES,
+                self.cfg.pooler_resolution_mask,
+                self.cfg.canonical_box_size, self.cfg.canonical_level)
+            d = pooled_m.shape[1]
+            mlogits = self.mask_head(
+                pooled_m.reshape((b * d,) + pooled_m.shape[2:]))
+            mlogits = mlogits.reshape((b, d) + mlogits.shape[1:])
+            sel = jax.nn.one_hot(dets.classes, self.cfg.num_classes,
+                                 dtype=mlogits.dtype)
+            per_class = jnp.einsum("bdhwc,bdc->bdhw", mlogits, sel)
+            mask_probs = jax.nn.sigmoid(per_class)
         return dets, mask_probs
 
     def __call__(self, images: jnp.ndarray):

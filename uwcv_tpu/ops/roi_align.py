@@ -212,6 +212,51 @@ def multilevel_roi_align(
         for f, s in zip(slabs, shapes)
     ])                                                       # [5,Hmax,Wmax,C]
 
+    strides_vals = [float(strides[n]) for n in names] + [2.0 * strides["p5"]]
+    li, y0, x0, wy, wx = _window_geometry(
+        rois, shapes, strides_vals, output_size, canonical_size,
+        canonical_level, samples_per_bin, window)
+
+    def slice_one(lvl_idx, oy, ox):
+        return jax.lax.dynamic_slice(
+            canvas, (lvl_idx, oy, ox, 0), (1, window, window, c))[0]
+
+    patches = jax.vmap(slice_one)(li, y0, x0)                 # [R,win,win,C]
+
+    # Feed the MXU in the feature dtype with f32 accumulation — a separate
+    # f32 cast of the [R,win,win,C] patches doubles the op's HBM traffic.
+    # bf16 interp weights add ~2^-9 relative rounding, the same order as
+    # the bf16 features themselves; float32 models keep exact f32 weights
+    # (oracle tests run f32).
+    wdt = patches.dtype
+    rows = jnp.einsum("rph,rhwc->rpwc", wy.astype(wdt), patches,
+                      preferred_element_type=jnp.float32)     # [R,P,win,C]
+    out = jnp.einsum("rqw,rpwc->rpqc", wx.astype(wdt),
+                     rows.astype(wdt),
+                     preferred_element_type=jnp.float32)      # [R,P,P,C]
+    return out.astype(dtype)
+
+
+def _window_geometry(rois, shapes, strides_vals, output_size,
+                     canonical_size, canonical_level, samples_per_bin,
+                     window, x_align: int = 1):
+    """Per-roi window placement + folded interpolation weights.
+
+    rois [R,4]; shapes = 5 level shapes incl the virtual pooled p6;
+    strides_vals = 5 per-level strides.  Returns
+    (li [R] int32 in 0..4, y0 [R] int32, x0 [R] int32,
+    wy [R,P,window] f32, wx [R,P,window_x] f32).  The spb×spb bin average
+    is folded into the weights — interpolation is linear, so averaging
+    sample WEIGHTS equals averaging samples (exact), halving the first
+    contraction and removing the [R,S,S,C] samples tensor entirely.
+
+    ``x_align > 1`` snaps the x origin DOWN to that multiple and widens the
+    x window by x_align (window_x = window + x_align): TPU DMA slices in
+    the sublane-tiled W dimension must start on a tile boundary (Mosaic
+    "tile index divisible by 8"), so the Pallas kernel path uses
+    x_align=8.  The caller's canvas must carry x_align extra padded
+    columns.
+    """
     levels = fpn_level_assignment(
         rois, 2, 5, canonical_size, canonical_level)         # [R] in 2..5
     # smallest level whose stride fits max(w,h) inside the window
@@ -223,8 +268,7 @@ def multilevel_roi_align(
     tbl = lambda vals: jnp.asarray(vals, jnp.float32)[li]     # [R]
     level_w = tbl([s[1] for s in shapes])
     level_h = tbl([s[0] for s in shapes])
-    stride_per_roi = tbl([float(strides[n]) for n in names]
-                         + [2.0 * strides["p5"]])
+    stride_per_roi = tbl(strides_vals)
 
     xs, ys = _sample_grid(rois, stride_per_roi, output_size, samples_per_bin)
     # clamp samples into the level extent (border replication, aligned=True)
@@ -239,27 +283,92 @@ def multilevel_roi_align(
 
     x0 = origin(xs, level_w)                                  # [R]
     y0 = origin(ys, level_h)
-    xs_rel = jnp.clip(xs - x0[:, None], 0.0, window - 1.0)    # [R,S]
+    window_x = window
+    if x_align > 1:
+        x0 = jnp.floor(x0 / x_align) * x_align
+        window_x = window + x_align
+    xs_rel = jnp.clip(xs - x0[:, None], 0.0, window_x - 1.0)  # [R,S]
     ys_rel = jnp.clip(ys - y0[:, None], 0.0, window - 1.0)
 
-    def slice_one(lvl_idx, oy, ox):
-        return jax.lax.dynamic_slice(
-            canvas, (lvl_idx, oy, ox, 0), (1, window, window, c))[0]
-
-    patches = jax.vmap(slice_one)(
-        li, y0.astype(jnp.int32), x0.astype(jnp.int32))       # [R,win,win,C]
-
     wy = jax.vmap(partial(_interp_matrix, dim=window))(ys_rel)  # [R,S,win]
-    wx = jax.vmap(partial(_interp_matrix, dim=window))(xs_rel)  # [R,S,win]
-
-    p32 = patches.astype(jnp.float32)
-    rows = jnp.einsum("rsh,rhwc->rswc", wy, p32,
-                      preferred_element_type=jnp.float32)     # [R,S,win,C]
-    samples = jnp.einsum("rtw,rswc->rstc", wx, rows,
-                         preferred_element_type=jnp.float32)  # [R,S,S,C]
-
+    wx = jax.vmap(partial(_interp_matrix, dim=window_x))(xs_rel)
     r = rois.shape[0]
     p = output_size
     spb = samples_per_bin
-    out = samples.reshape(r, p, spb, p, spb, c).mean(axis=(2, 4))
-    return out.astype(dtype)
+    wy = wy.reshape(r, p, spb, window).mean(axis=2)           # [R,P,win]
+    wx = wx.reshape(r, p, spb, window_x).mean(axis=2)
+    return li, y0.astype(jnp.int32), x0.astype(jnp.int32), wy, wx
+
+
+def multilevel_roi_align_batched(
+    features: Dict[str, jnp.ndarray],
+    rois: jnp.ndarray,
+    strides: Dict[str, int],
+    output_size: int,
+    canonical_size: float = 224.0,
+    canonical_level: int = 4,
+    samples_per_bin: int = 2,
+    window: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched pooler: features {level: [B,H,W,C]}, rois [B,R,4] →
+    [B,R,P,P,C].
+
+    On TPU this runs the FUSED Pallas kernel
+    (ops/pallas/roi_align_kernel.py): the whole batch's level slabs stay in
+    HBM, each roi DMAs exactly its window into VMEM and both interpolation
+    contractions happen in-kernel — ~6× less HBM traffic than the XLA
+    formulation (PERF.md).  Elsewhere (CPU/interpret) it falls back to the
+    vmapped XLA path.  Inference-only: no VJP (training pools through
+    ``multilevel_roi_align``)."""
+    from uwcv_tpu.ops.nms import _pallas_available
+
+    if not _pallas_available() and not interpret:
+        def one(f, r):
+            return multilevel_roi_align(
+                f, r, strides, output_size, canonical_size,
+                canonical_level, samples_per_bin, window)
+        return jax.vmap(one)(features, rois)
+
+    from uwcv_tpu.ops.pallas.roi_align_kernel import roi_align_windows_pallas
+
+    names = ["p2", "p3", "p4", "p5"]
+    shapes = [features[n].shape[1:] for n in names]
+    b = features[names[0]].shape[0]
+    r = rois.shape[1]
+    c = shapes[0][-1]
+    dtype = features[names[0]].dtype
+    hmax = max(max(s[0] for s in shapes), window)
+    wmax = max(max(s[1] for s in shapes), window)
+
+    h5, w5 = shapes[3][:2]
+    p5 = features["p5"]
+    p5 = jnp.pad(p5, ((0, 0), (0, h5 % 2), (0, w5 % 2), (0, 0)), mode="edge")
+    h6, w6 = p5.shape[1] // 2, p5.shape[2] // 2
+    p6v = p5.reshape(b, h6, 2, w6, 2, c).mean(axis=(2, 4)).astype(dtype)
+    shapes = shapes + [(h6, w6, c)]
+    slabs = [features[n] for n in names] + [p6v]
+
+    # +x_align columns: the 8-aligned x origins can push the window up to
+    # x_align past the widest level's extent
+    x_align = 8
+    canvas = jnp.stack([
+        jnp.pad(f, ((0, 0), (0, hmax - s[0]),
+                    (0, wmax + x_align - s[1]), (0, 0)))
+        for f, s in zip(slabs, shapes)
+    ], axis=1).reshape(b * 5, hmax, wmax + x_align, c)
+
+    strides_vals = [float(strides[n]) for n in names] + [2.0 * strides["p5"]]
+    li, y0, x0, wy, wx = jax.vmap(lambda rr: _window_geometry(
+        rr, shapes, strides_vals, output_size, canonical_size,
+        canonical_level, samples_per_bin, window, x_align=x_align))(rois)
+
+    slab = (jnp.arange(b, dtype=jnp.int32)[:, None] * 5 + li).reshape(-1)
+    p = output_size
+    pooled = roi_align_windows_pallas(
+        slab, y0.reshape(-1), x0.reshape(-1),
+        wy.reshape(b * r, p, window),
+        wx.reshape(b * r, p, window + x_align),
+        canvas, window=window, window_x=window + x_align,
+        interpret=interpret)
+    return pooled.reshape(b, r, p, p, c)
