@@ -33,24 +33,36 @@ def _roi_align_kernel(slab_ref, y0_ref, x0_ref, wy_ref, wx_ref,
     # dimension to the 128-lane tile, so [R,3] i32 costs R*512 B and blows
     # the 1 MB SMEM budget at R=8000
     i = pl.program_id(0)
-    slab = slab_ref[i]
-    y0 = y0_ref[i]
-    # snapped to the W-dim DMA tile by the caller; Mosaic needs the
-    # divisibility asserted (it cannot prove it for a runtime SMEM value)
-    x0 = pl.multiple_of(x0_ref[i], 8)
+    n = pl.num_programs(0)
 
-    # window HBM → VMEM (the only canvas bytes this roi touches)
-    dma = pltpu.make_async_copy(
-        canvas_ref.at[slab, pl.ds(y0, window), pl.ds(x0, window_x), :],
-        patch, sem)
-    dma.start()
-    dma.wait()
+    # Double-buffered window DMA: scratch persists across grid steps (the
+    # TPU grid is a sequential loop), so step i computes on slot i%2 while
+    # step i+1's window is already in flight — scalar prefetch makes every
+    # roi's origin available up front.  x origins are snapped to the W-dim
+    # DMA tile by the caller; Mosaic needs the divisibility asserted
+    # (pl.multiple_of) since it can't prove it for a runtime SMEM value.
+    def dma(j, slot):
+        return pltpu.make_async_copy(
+            canvas_ref.at[slab_ref[j],
+                          pl.ds(y0_ref[j], window),
+                          pl.ds(pl.multiple_of(x0_ref[j], 8), window_x), :],
+            patch.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma(i + 1, (i + 1) % 2).start()
+
+    dma(i, i % 2).wait()
 
     p_out = wy_ref.shape[1]
     c = patch.shape[-1]
     wy = wy_ref[0]                                      # [P, win]
     wx = wx_ref[0]                                      # [P, win_x]
-    pt = patch[:].reshape(window, window_x * c)
+    pt = patch[i % 2].reshape(window, window_x * c)
     # rows[p, wx*c] = Σ_h wy[p, h] · patch[h, wx*c]
     rows = jax.lax.dot_general(
         wy, pt, (((1,), (0,)), ((), ())),
@@ -91,8 +103,8 @@ def roi_align_windows_pallas(
         out_specs=pl.BlockSpec((1, p_out, p_out, c),
                                lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((window, window_x, c), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, window, window_x, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
