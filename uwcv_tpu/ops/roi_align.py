@@ -1,22 +1,27 @@
-"""RoIAlign (aligned=True) as an XLA program (SURVEY.md N4).
+"""RoIAlign (aligned=True), TPU-first (SURVEY.md N4).
 
-Rebuilds Detectron2's C++/CUDA ROIAlign for TPU.  Design notes:
+Rebuilds Detectron2's C++/CUDA ROIAlign.  Three formulations live here, in
+ascending performance (PERF.md has the measured ladder):
 
-- Detectron2 uses ``aligned=True``: a half-pixel shift so sample coordinates
-  are pixel-center aligned (the -0.5 below).
-- ``sampling_ratio=0`` (adaptive grid) needs dynamic loop counts; we fix a
-  static 2×2 sample grid per output bin — the standard static-shape
-  compromise (TF TPU Mask R-CNN does the same; mAP-neutral in ablations).
-- The interpolation is *gather-based*: every FPN level is flattened and
-  concatenated into one [ΣHW, C] table; each roi computes flat indices into
-  its assigned level's slab (level offset + y·W + x for 4 corners) and one
-  XLA gather fetches [R, S, S, 4, C].  Each gathered slice is a contiguous
-  C-vector (1KB at C=256 f32), which the TPU gather unit streams at near
-  HBM bandwidth.  An earlier one-hot-matmul formulation cost ~600 GFLOP on
-  P2 alone (2× the whole R50 backbone) — gathers cost only their traffic
-  (~0.8 GB/image for 1000 rois), ~1000× cheaper.
-- FPN level assignment (eq. 1 of the FPN paper) stays in-XLA, selecting the
-  per-roi slab offset/stride/extent with 4-way arithmetic selects.
+1. ``roi_align_level``: per-sample 4-corner flat gather against ONE level —
+   the numpy-oracle-matching reference implementation used by tests.
+2. ``multilevel_roi_align``: the *windowed* XLA formulation — each roi
+   ``dynamic_slice``s a [window, window, C] neighborhood from a padded
+   level canvas and interpolates with two small matmuls (bin-average folded
+   into the weight matrices; exact).  Differentiable — training pools
+   through this path.
+3. ``multilevel_roi_align_batched``: the FUSED Pallas kernel
+   (ops/pallas/roi_align_kernel.py) — per-roi window DMA straight into
+   VMEM, both interpolation contractions on the MXU in-kernel, only
+   [P,P,C] written back; 3.4× (2) at production scale.  Inference-only
+   (no VJP); falls back to vmapped (2) off-TPU.
+
+Shared semantics: Detectron2 ``aligned=True`` (half-pixel shift, the -0.5
+below); static 2×2 sample grid per bin (the standard static-shape stand-in
+for ``sampling_ratio=0`` — TF TPU Mask R-CNN does the same; mAP-neutral);
+FPN-paper eq. 1 level assignment, with oversized rois (image-wide scale
+bars, p5-clamped boxes) bumped to coarser levels incl. a virtual 2×-pooled
+p5 so they get full coverage instead of window truncation.
 """
 
 from __future__ import annotations
