@@ -217,6 +217,11 @@ def _measure_train(cfg, result, log) -> None:
         "valid": np.tile(np.array([True] + [False] * (n - 1)), (batch, 1)),
         "masks_packed": np.packbits(masks, axis=-1),
     }
+    # stage the batch on device: the metric is STEP cost (fwd+bwd+update);
+    # input streaming is the loader's job and overlaps compute on real
+    # hosts — re-shipping 14 MB/step through the 34 MB/s tunnel would
+    # measure the link again, not the step (PERF.md)
+    batch_data = jax.device_put(batch_data)
     result["train_status"] = "compiling"
     log(f"train-step warmup/compile: batch={batch}")
     t = time.perf_counter()

@@ -163,10 +163,16 @@ class Trainer:
 
         tb = SummaryWriter(self.cfg.output_dir)
         try:
+            # one-batch device prefetch: device_put is async, so batch i+1's
+            # host→device upload overlaps step i's compute (on slow links —
+            # remote-attached TPUs — the upload otherwise serializes with
+            # every step; PERF.md measured it at ~55% of wall step time)
+            pending = shard_batch(next(batch_iter), self.mesh)
             with open(metrics_path, "a") as mf:
                 for i in range(start_step, max_iter):
-                    batch = next(batch_iter)
-                    batch = shard_batch(batch, self.mesh)
+                    batch = pending
+                    if i + 1 < max_iter:
+                        pending = shard_batch(next(batch_iter), self.mesh)
                     rng, step_rng = jax.random.split(rng)
                     self.state, metrics = self._step_fn(
                         self.state, batch, step_rng)
