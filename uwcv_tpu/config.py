@@ -65,6 +65,11 @@ class ModelConfig:
     # sequential suppression depth without changing results.
     nms_candidates_test: int = 1024
     roi_bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    # fused Pallas pooler kernel for inference (TPU only; the vmapped XLA
+    # pooler is the fallback). Sharded (multi-chip mesh) predictors switch
+    # this off: pallas_call has no SPMD partitioning rule, so XLA would
+    # gather the sharded feature maps onto every chip.
+    pooler_pallas: bool = True
     pooler_resolution_box: int = 7
     pooler_resolution_mask: int = 14
     mask_head_resolution: int = 28        # deconv output

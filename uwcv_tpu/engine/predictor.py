@@ -44,7 +44,15 @@ class Predictor:
         change; the batch size must then be a multiple of the data-axis
         size.  Default: single-chip."""
         self.cfg = cfg
-        self.model = MaskRCNN(cfg.model)
+        model_cfg = cfg.model
+        if mesh is not None and mesh.devices.size > 1:
+            # sharded inference must keep the SPMD-partitionable XLA pooler:
+            # pallas_call has no partitioning rule, so XLA would all-gather
+            # the sharded feature maps onto every chip
+            import dataclasses
+
+            model_cfg = dataclasses.replace(model_cfg, pooler_pallas=False)
+        self.model = MaskRCNN(model_cfg)
         self.mask_postprocess = mask_postprocess
         self.pad_h, self.pad_w = cfg.input.pad_size_test
         self.mesh = mesh

@@ -109,7 +109,8 @@ class MaskRCNN(nn.Module):
         pooled = multilevel_roi_align_batched(
             feats_per_img, proposals.boxes, STRIDES,
             self.cfg.pooler_resolution_box,
-            self.cfg.canonical_box_size, self.cfg.canonical_level)
+            self.cfg.canonical_box_size, self.cfg.canonical_level,
+            use_pallas=self.cfg.pooler_pallas)
         k = pooled.shape[1]
         logits, box_deltas = self.box_head(
             pooled.reshape((b * k,) + pooled.shape[2:]))
@@ -128,7 +129,8 @@ class MaskRCNN(nn.Module):
             pooled_m = multilevel_roi_align_batched(
                 feats_per_img, dets.boxes, STRIDES,
                 self.cfg.pooler_resolution_mask,
-                self.cfg.canonical_box_size, self.cfg.canonical_level)
+                self.cfg.canonical_box_size, self.cfg.canonical_level,
+                use_pallas=self.cfg.pooler_pallas)
             d = pooled_m.shape[1]
             mlogits = self.mask_head(
                 pooled_m.reshape((b * d,) + pooled_m.shape[2:]))

@@ -315,6 +315,7 @@ def multilevel_roi_align_batched(
     samples_per_bin: int = 2,
     window: int = 32,
     interpret: bool = False,
+    use_pallas: bool = True,
 ) -> jnp.ndarray:
     """Batched pooler: features {level: [B,H,W,C]}, rois [B,R,4] →
     [B,R,P,P,C].
@@ -328,7 +329,7 @@ def multilevel_roi_align_batched(
     ``multilevel_roi_align``)."""
     from uwcv_tpu.ops.nms import _pallas_available
 
-    if not _pallas_available() and not interpret:
+    if (not use_pallas or not _pallas_available()) and not interpret:
         def one(f, r):
             return multilevel_roi_align(
                 f, r, strides, output_size, canonical_size,
