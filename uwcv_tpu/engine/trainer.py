@@ -166,8 +166,11 @@ class Trainer:
             # one-batch device prefetch: device_put is async, so batch i+1's
             # host→device upload overlaps step i's compute (on slow links —
             # remote-attached TPUs — the upload otherwise serializes with
-            # every step; PERF.md measured it at ~55% of wall step time)
-            pending = shard_batch(next(batch_iter), self.mesh)
+            # every step; PERF.md measured it at ~55% of wall step time).
+            # Guarded: a resumed-complete run (start_step >= max_iter) must
+            # not consume (or StopIteration on) the iterator.
+            pending = (shard_batch(next(batch_iter), self.mesh)
+                       if start_step < max_iter else None)
             with open(metrics_path, "a") as mf:
                 for i in range(start_step, max_iter):
                     batch = pending

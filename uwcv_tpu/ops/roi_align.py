@@ -160,6 +160,48 @@ def roi_align_level(
         samples_per_bin).astype(feat.dtype)
 
 
+_LEVEL_NAMES = ("p2", "p3", "p4", "p5")
+
+
+def _level_canvas(features, window: int, extra_w: int = 0):
+    """Single-image {level: [H,W,C]} → [5, Hmax, Wmax+extra_w, C] slab stack.
+
+    Slab 4 is the *virtual level 6*: the 2× average-pooled p5 (cell j
+    represents continuous position (j+0.5)·2·stride₅ px — consistent with
+    the stride convention), used by the oversized-roi level bump.
+    ``extra_w`` adds padded columns for DMA-tile-aligned window origins
+    (the Pallas path).  Shared by the XLA and Pallas poolers so the two
+    stay bit-identical; the batched caller vmaps it.
+    """
+    shapes = _level_shapes([features[n].shape for n in _LEVEL_NAMES])
+    c = shapes[0][-1]
+    dtype = features[_LEVEL_NAMES[0]].dtype
+    hmax = max(max(s[0] for s in shapes), window)
+    wmax = max(max(s[1] for s in shapes), window)
+
+    h5, w5 = shapes[3][:2]
+    p5 = jnp.pad(features["p5"], ((0, h5 % 2), (0, w5 % 2), (0, 0)),
+                 mode="edge")
+    h6, w6 = shapes[4][:2]
+    p6v = p5.reshape(h6, 2, w6, 2, c).mean(axis=(1, 3)).astype(dtype)
+    slabs = [features[n] for n in _LEVEL_NAMES] + [p6v]
+    return jnp.stack([
+        jnp.pad(f, ((0, hmax - s[0]), (0, wmax + extra_w - s[1]), (0, 0)))
+        for f, s in zip(slabs, shapes)
+    ])
+
+
+def _level_shapes(shapes4):
+    """4 level shapes → 5 (appends the virtual pooled-p5 level)."""
+    shapes4 = [tuple(s) for s in shapes4]
+    h5, w5, c = shapes4[3]
+    return shapes4 + [((h5 + 1) // 2, (w5 + 1) // 2, c)]
+
+
+def _level_strides(strides):
+    return [float(strides[n]) for n in _LEVEL_NAMES] + [2.0 * strides["p5"]]
+
+
 def multilevel_roi_align(
     features: Dict[str, jnp.ndarray],
     rois: jnp.ndarray,
@@ -195,29 +237,12 @@ def multilevel_roi_align(
     tests/test_ops_nms_roialign.py::test_image_wide_roi_full_coverage pins
     exactness on linear-ramp features.  Everything in [14, 28) is exact.
     """
-    names = ["p2", "p3", "p4", "p5"]
-    shapes = [features[n].shape for n in names]
-    c = shapes[0][-1]
-    dtype = features[names[0]].dtype
-    hmax = max(max(s[0] for s in shapes), window)
-    wmax = max(max(s[1] for s in shapes), window)
+    c = features["p2"].shape[-1]
+    dtype = features["p2"].dtype
+    shapes = _level_shapes([features[n].shape for n in _LEVEL_NAMES])
+    canvas = _level_canvas(features, window)     # [5,Hmax,Wmax,C]
 
-    # virtual level 6: 2× average-pooled p5 (cell j represents continuous
-    # position (j+0.5)·64 px — consistent with the stride convention)
-    h5, w5 = shapes[3][:2]
-    p5 = features["p5"]
-    p5 = jnp.pad(p5, ((0, h5 % 2), (0, w5 % 2), (0, 0)), mode="edge")
-    h6, w6 = p5.shape[0] // 2, p5.shape[1] // 2
-    p6v = p5.reshape(h6, 2, w6, 2, c).mean(axis=(1, 3)).astype(dtype)
-    shapes = shapes + [(h6, w6, c)]
-    slabs = [features[n] for n in names] + [p6v]
-
-    canvas = jnp.stack([
-        jnp.pad(f, ((0, hmax - s[0]), (0, wmax - s[1]), (0, 0)))
-        for f, s in zip(slabs, shapes)
-    ])                                                       # [5,Hmax,Wmax,C]
-
-    strides_vals = [float(strides[n]) for n in names] + [2.0 * strides["p5"]]
+    strides_vals = _level_strides(strides)
     li, y0, x0, wy, wx = _window_geometry(
         rois, shapes, strides_vals, output_size, canonical_size,
         canonical_level, samples_per_bin, window)
@@ -338,33 +363,19 @@ def multilevel_roi_align_batched(
 
     from uwcv_tpu.ops.pallas.roi_align_kernel import roi_align_windows_pallas
 
-    names = ["p2", "p3", "p4", "p5"]
-    shapes = [features[n].shape[1:] for n in names]
-    b = features[names[0]].shape[0]
+    b = features["p2"].shape[0]
     r = rois.shape[1]
-    c = shapes[0][-1]
-    dtype = features[names[0]].dtype
-    hmax = max(max(s[0] for s in shapes), window)
-    wmax = max(max(s[1] for s in shapes), window)
-
-    h5, w5 = shapes[3][:2]
-    p5 = features["p5"]
-    p5 = jnp.pad(p5, ((0, 0), (0, h5 % 2), (0, w5 % 2), (0, 0)), mode="edge")
-    h6, w6 = p5.shape[1] // 2, p5.shape[2] // 2
-    p6v = p5.reshape(b, h6, 2, w6, 2, c).mean(axis=(2, 4)).astype(dtype)
-    shapes = shapes + [(h6, w6, c)]
-    slabs = [features[n] for n in names] + [p6v]
+    c = features["p2"].shape[-1]
+    shapes = _level_shapes([features[n].shape[1:] for n in _LEVEL_NAMES])
 
     # +x_align columns: the 8-aligned x origins can push the window up to
     # x_align past the widest level's extent
     x_align = 8
-    canvas = jnp.stack([
-        jnp.pad(f, ((0, 0), (0, hmax - s[0]),
-                    (0, wmax + x_align - s[1]), (0, 0)))
-        for f, s in zip(slabs, shapes)
-    ], axis=1).reshape(b * 5, hmax, wmax + x_align, c)
+    canvas = jax.vmap(
+        partial(_level_canvas, window=window, extra_w=x_align))(features)
+    canvas = canvas.reshape((b * 5,) + canvas.shape[2:])
 
-    strides_vals = [float(strides[n]) for n in names] + [2.0 * strides["p5"]]
+    strides_vals = _level_strides(strides)
     li, y0, x0, wy, wx = jax.vmap(lambda rr: _window_geometry(
         rr, shapes, strides_vals, output_size, canonical_size,
         canonical_level, samples_per_bin, window, x_align=x_align))(rois)
