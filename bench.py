@@ -169,7 +169,7 @@ def _measure() -> None:
     # terminal contention, so we time several windows and report the best
     # (steady-state capability); every window is logged to stderr.
     n_batches = max(n_images // batch, 1)
-    reps = int(os.environ.get("UWCV_BENCH_REPS", "3"))
+    reps = int(os.environ.get("UWCV_BENCH_REPS", "5"))
     for rep in range(reps):
         t = time.perf_counter()
         out = None

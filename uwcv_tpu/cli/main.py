@@ -169,6 +169,28 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    _apply_platform_env()
+    cfg = _build_cfg(args)
+    from uwcv_tpu.engine.predictor import Predictor, load_predictor
+    from uwcv_tpu.engine.serve import serve_forever
+
+    if args.artifact:
+        predictor = Predictor.from_exported(cfg, args.artifact)
+    else:
+        if not cfg.weights:
+            default = os.path.join(cfg.output_dir, "model_final")
+            if os.path.isdir(default):
+                cfg.weights = default
+        predictor = load_predictor(cfg)
+    n = serve_forever(cfg, predictor, args.watch_dir,
+                      args.out_dir or os.path.join(cfg.output_dir, "served"),
+                      batch_size=args.batch_size, poll_s=args.poll,
+                      once=args.once)
+    print(f"served {n} images")
+    return 0
+
+
 def cmd_synth(args) -> int:
     from uwcv_tpu.data.synthetic import generate_dataset
 
@@ -217,6 +239,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--trials", type=int, default=8)
     p.add_argument("--trial-iters", type=int, default=100)
     p.set_defaults(fn=cmd_hpo)
+
+    p = sub.add_parser(
+        "serve", help="watch a folder, serve inference results as JSON "
+                      "(from weights or a StableHLO artifact)")
+    _add_common(p)
+    p.add_argument("--watch-dir", required=True)
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--artifact", default=None,
+                   help="serving artifact from `uwcv export`")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--poll", type=float, default=1.0)
+    p.add_argument("--once", action="store_true",
+                   help="drain the current backlog and exit")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
         "export", help="serialize the inference program (weights baked) "
