@@ -141,7 +141,14 @@ int64_t moore_trace(const int32_t* labels, int64_t h, int64_t w,
   out_xy[0] = (int32_t)cx;
   out_xy[1] = (int32_t)cy;
   n = 1;
-  const int64_t hard_cap = 4 * h * w;
+  // Termination: stop when the (pixel, backtrack) STATE repeats — the walk
+  // is deterministic, so the first repeated state closes the full boundary
+  // cycle.  Stop-at-start-pixel loses whole lobes of components pinched
+  // diagonally at the raster-first pixel (e.g. [[0,1,0],[1,0,1]]); the
+  // Python twin in measure/contours.py uses the same rule.
+  std::vector<uint8_t> seen((size_t)(h * w), 0);  // bit per direction
+  seen[(size_t)(cy * w + cx)] = (uint8_t)(1u << prev_dir);
+  const int64_t hard_cap = 8 * h * w;
   for (int64_t guard = 0; guard < hard_cap; ++guard) {
     int found = -1;
     for (int i = 0; i < 8; ++i) {
@@ -152,7 +159,10 @@ int64_t moore_trace(const int32_t* labels, int64_t h, int64_t w,
     prev_dir = (found + 4) % 8;
     cx += dx[found];
     cy += dy[found];
-    if (cx == sx && cy == sy) break;
+    uint8_t &bits = seen[(size_t)(cy * w + cx)];
+    const uint8_t bit = (uint8_t)(1u << prev_dir);
+    if (bits & bit) break;  // full cycle
+    bits |= bit;
     if (n == max_pts) return -1;
     out_xy[n * 2] = (int32_t)cx;
     out_xy[n * 2 + 1] = (int32_t)cy;

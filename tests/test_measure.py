@@ -225,3 +225,32 @@ def test_measurement_report_artifacts(tmp_path):
     assert len(dfp) == 1  # accumulators are per-class, no bleed
     plots = rep.write_distribution_plots(columns=["Feret Diameter"])
     assert len(plots) == 2 and all(os.path.exists(x) for x in plots)
+
+
+def test_pinched_component_traces_both_lobes():
+    """A component pinched diagonally at the raster-first pixel
+    ([[0,1,0],[1,0,1]]) must trace ALL its pixels — stop-at-start-pixel
+    termination lost a whole lobe (both in C++ and the Python twin)."""
+    from uwcv_tpu.measure.contours import find_contours
+
+    mask = np.zeros((5, 6), np.uint8)
+    mask[1, 2] = 1   # top of the pinch
+    mask[2, 1] = 1   # left lobe
+    mask[2, 3] = 1   # right lobe
+    cs = find_contours(mask)
+    assert len(cs) == 1
+    pts = {tuple(p) for p in cs[0].astype(int)}
+    assert {(2, 1), (1, 2), (3, 2)} <= pts, pts
+
+
+def test_rle_accepts_0_255_masks():
+    """0/255 uint8 masks (PIL convention) must encode like boolean masks —
+    an int8 cast overflowed 255 -> -1 and emitted negative run lengths."""
+    from uwcv_tpu.measure.rle import binary_mask_to_rle, rle_encode, rle_encoding
+
+    m255 = np.array([[0, 255, 255, 0, 255]], np.uint8)
+    mbool = m255 != 0
+    assert rle_encode(m255) == rle_encode(mbool) == "2 2 5 1"
+    assert rle_encoding(m255) == rle_encoding(mbool)
+    assert binary_mask_to_rle(m255) == binary_mask_to_rle(mbool)
+    assert all(c >= 0 for c in binary_mask_to_rle(m255)["counts"])

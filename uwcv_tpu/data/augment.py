@@ -70,8 +70,14 @@ def random_saturation(img, key, lo, hi):
 
 
 def random_lighting(img, key, scale):
+    """Detectron2 RandomLighting: adds eigvecs·(w·eigvals) DIRECTLY to the
+    0-255 image.  The eigenvalues are from [0,1]-normalized PCA, so in D2
+    the jitter is ~±0.15 intensity units — effectively invisible — a known
+    quirk it inherited from fb.resnet.torch.  We match it exactly (an
+    earlier ×255 here perturbed every pixel ~±40 units, silently changing
+    the training distribution vs the reference, nn_train.py:141)."""
     weights = jax.random.normal(key, (3,)) * scale
-    delta = jnp.asarray(_EIGVEC) @ (weights * _EIGVAL) * 255.0
+    delta = jnp.asarray(_EIGVEC) @ (weights * _EIGVAL)
     return img + delta
 
 

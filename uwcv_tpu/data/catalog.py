@@ -116,11 +116,24 @@ def register_superannotate(
 
 
 def register_coco(name: str, json_file: str, image_root: str) -> None:
+    """Register a COCO-format dataset LAZILY — both the dataset dicts and
+    the metadata parse the (possibly huge) annotations JSON only when first
+    used, and registration works even before the file exists (the registry
+    is declarative, like the reference's DatasetCatalog wiring
+    nn_train.py:185-193)."""
     from uwcv_tpu.data.coco import load_coco_json
 
-    DatasetCatalog.register(name, lambda: load_coco_json(json_file, image_root))
-    import json as _json
-    with open(json_file) as f:
-        cats = sorted(_json.load(f).get("categories", []), key=lambda c: c["id"])
-    MetadataCatalog.get(name).set(
-        thing_classes=[c["name"] for c in cats])
+    def load():
+        dicts = load_coco_json(json_file, image_root)
+        # metadata derived lazily alongside (once, on first use)
+        if not MetadataCatalog.get(name).get("thing_classes"):
+            import json as _json
+
+            with open(json_file) as f:
+                cats = sorted(_json.load(f).get("categories", []),
+                              key=lambda c: c["id"])
+            MetadataCatalog.get(name).set(
+                thing_classes=[c["name"] for c in cats])
+        return dicts
+
+    DatasetCatalog.register(name, load)

@@ -46,6 +46,19 @@ class ClassRegistry:
                 _auto_color(i) for i in range(len(self.colors), len(self.names))]
         if len(self.keywords) != len(self.names):
             self.keywords = [_keyword(n) for n in self.names]
+        # keywords name per-class artifact files (Results<kw>_.csv) —
+        # auto-derived keywords can collide for distinct class names
+        # ("Red cell"/"Red cells" → "RedCell"), silently overwriting one
+        # class's CSV with another's; suffix a counter on collision
+        seen: dict = {}
+        deduped = []
+        for kw in self.keywords:
+            if kw in seen:
+                seen[kw] += 1
+                kw = f"{kw}{seen[kw]}"
+            seen.setdefault(kw, 0)
+            deduped.append(kw)
+        self.keywords = deduped
 
     @property
     def num_classes(self) -> int:

@@ -93,6 +93,11 @@ def prepare_train_sample(record: Dict, cfg: Config) -> Dict[str, np.ndarray]:
         if i >= n_max:
             break
         bx = np.asarray(ann["bbox"], np.float64) * [sx, sy, sx, sy]
+        # clip to the train canvas (D2 transform_instance_annotations clips
+        # boxes to image bounds) — the SA parser can emit polygons slightly
+        # past the border, and an unclipped box disagrees with the
+        # canvas-clipped rasterized mask, teaching out-of-frame regression
+        bx = np.clip(bx, [0, 0, 0, 0], [s_w, s_h, s_w, s_h])
         if bx[2] - bx[0] <= 1e-3 or bx[3] - bx[1] <= 1e-3:
             continue
         polys = [
@@ -136,8 +141,10 @@ class TrainLoader:
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = cfg.solver.ims_per_batch
-        self.num_workers = (num_workers if num_workers is not None
-                            else max(1, cfg.data.num_workers))
+        # floor the EXPLICIT argument too: zero workers would deadlock
+        # __iter__ on an empty queue with no error
+        self.num_workers = max(1, num_workers if num_workers is not None
+                               else cfg.data.num_workers)
         self.rng = np.random.default_rng(seed)
         self._q: "queue.Queue" = queue.Queue(maxsize=cfg.data.prefetch_depth)
         self._stop = threading.Event()

@@ -43,6 +43,12 @@ def _trace_boundary(mask: np.ndarray, start: Tuple[int, int]) -> np.ndarray:
     # previous (outside) pixel is to the west → start search from W.
     prev_dir = 4  # index of (-1, 0) West
     cx, cy = sx, sy
+    # Termination: stop when the (pixel, backtrack) STATE repeats — the
+    # walk is deterministic, so the first repeated state closes the full
+    # boundary cycle.  Naive stop-at-start loses whole lobes of components
+    # pinched diagonally at the start pixel (e.g. [[0,1,0],[1,0,1]]), and
+    # plain Jacob's criterion can stop before a second lobe is traced.
+    seen = {(cx, cy, prev_dir)}
     while True:
         found = False
         # search clockwise starting from the neighbor after the backtrack
@@ -59,10 +65,12 @@ def _trace_boundary(mask: np.ndarray, start: Tuple[int, int]) -> np.ndarray:
                 break
         if not found:  # isolated pixel
             break
-        if (cx, cy) == (sx, sy):
+        state = (cx, cy, prev_dir)
+        if state in seen:
             break
+        seen.add(state)
         contour.append((cx, cy))
-        if len(contour) > 4 * mask.size:  # safety
+        if len(contour) > 8 * mask.size:  # safety
             break
     return np.asarray(contour, dtype=np.float64)
 

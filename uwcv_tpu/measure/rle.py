@@ -19,8 +19,12 @@ import numpy as np
 
 
 def _runs(flat: np.ndarray):
-    """start indices (0-based) and lengths of 1-runs in a flat 0/1 array."""
-    padded = np.concatenate([[0], flat.astype(np.int8), [0]])
+    """start indices (0-based) and lengths of nonzero runs in a flat array.
+
+    Binarize FIRST: a 0/255 uint8 mask (the common PIL mask convention)
+    cast straight to int8 overflows 255 → -1 and swaps every run's
+    start/end, producing negative run lengths."""
+    padded = np.concatenate([[0], (flat != 0).astype(np.int8), [0]])
     diff = np.diff(padded)
     starts = np.flatnonzero(diff == 1)
     ends = np.flatnonzero(diff == -1)
