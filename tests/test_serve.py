@@ -45,7 +45,7 @@ def test_serve_once_and_restart_resume(tmp_path):
     n = serve_forever(cfg, predictor, str(watch), str(out),
                       batch_size=2, once=True, progress=lambda *_: None)
     assert n == 3
-    rec = json.load(open(out / "a.json"))
+    rec = json.load(open(out / "a.png.json"))
     assert rec["file"] == "a.png"
     assert len(rec["scores"]) == rec["num_instances"]
     assert len(rec["masks_rle"]) == rec["num_instances"]
@@ -56,4 +56,4 @@ def test_serve_once_and_restart_resume(tmp_path):
     n2 = serve_forever(cfg, predictor, str(watch), str(out),
                        batch_size=2, once=True, progress=lambda *_: None)
     assert n2 == 1
-    assert os.path.exists(out / "d.json")
+    assert os.path.exists(out / "d.png.json")

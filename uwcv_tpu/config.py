@@ -89,6 +89,11 @@ class InputConfig:
 
     train_size: Tuple[int, int] = (800, 800)    # exact resize, nn_train.py:135
     test_short_edge: int = 800
+    # NOTE: the pooler's oversized-roi level bump covers rois up to
+    # (window-2)*64 ≈ 1920 px (virtual stride-64 level, ops/roi_align.py);
+    # raising test_max_size past ~1900 lets image-wide rois (scale bars)
+    # exceed that ceiling and silently window-truncate — widen the pooler
+    # window alongside.
     test_max_size: int = 1333
     # resize on host before the device transfer (what the reference's
     # DefaultPredictor does: ResizeShortestEdge runs on CPU and the RESIZED

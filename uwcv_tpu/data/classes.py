@@ -54,8 +54,13 @@ class ClassRegistry:
         deduped = []
         for kw in self.keywords:
             if kw in seen:
-                seen[kw] += 1
-                kw = f"{kw}{seen[kw]}"
+                # bump until free: [A, A1, A] must not re-mint A1
+                while True:
+                    seen[kw] += 1
+                    candidate = f"{kw}{seen[kw]}"
+                    if candidate not in seen:
+                        kw = candidate
+                        break
             seen.setdefault(kw, 0)
             deduped.append(kw)
         self.keywords = deduped

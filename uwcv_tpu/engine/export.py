@@ -75,9 +75,11 @@ def load_exported(path: str):
 
     def run(images, scales, out_sizes):
         n = images.shape[0]
-        assert n <= b, f"exported for batch {b}, got {n}"
-        assert images.shape[1] <= ch and images.shape[2] <= cw, (
-            f"exported for canvas {(ch, cw)}, got {images.shape[1:3]}")
+        if n > b:
+            raise ValueError(f"exported for batch {b}, got {n}")
+        if images.shape[1] > ch or images.shape[2] > cw:
+            raise ValueError(
+                f"exported for canvas {(ch, cw)}, got {images.shape[1:3]}")
         if images.shape[-1] == 1:
             # grayscale-transfer fast path: the host ships one channel
             # (predictor.py); the exported program is fixed at 3 — the

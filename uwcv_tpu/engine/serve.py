@@ -63,11 +63,13 @@ def serve_forever(
 
     os.makedirs(out_dir, exist_ok=True)
     exts = tuple(cfg.data.image_ext)
+    # dedup keys are FULL filenames (a.png and a.tif are distinct inputs);
+    # the answer for <name>.<ext> is written to <name>.<ext>.json
     done: set = set()
     # anything already answered in out_dir survives service restarts
     for f in os.listdir(out_dir):
         if f.endswith(".json"):
-            done.add(os.path.splitext(f)[0])
+            done.add(f[: -len(".json")])
     n_total = 0
 
     cap = getattr(predictor, "exported_batch", None)
@@ -77,8 +79,7 @@ def serve_forever(
     while True:
         fresh = sorted(
             os.path.join(watch_dir, f) for f in os.listdir(watch_dir)
-            if f.lower().endswith(exts)
-            and os.path.splitext(f)[0] not in done)
+            if f.lower().endswith(exts) and f not in done)
         for start in range(0, len(fresh), batch_size):
             chunk = fresh[start:start + batch_size]
             images = [load_image_rgb(p) for p in chunk]
@@ -87,7 +88,7 @@ def serve_forever(
                 inst_np = inst.to_numpy()
                 inst_np = resize_masks_to_original(inst_np, img.shape[:2])
                 rec = _result_record(path, inst_np)
-                name = os.path.splitext(os.path.basename(path))[0]
+                name = os.path.basename(path)
                 with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
                     json.dump(rec, f)
                 done.add(name)

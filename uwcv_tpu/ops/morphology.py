@@ -80,7 +80,7 @@ def fill_holes(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
         return i + 1, new, jnp.any(new != flood)
 
     _, flood, _ = jax.lax.while_loop(cond, body, (0, seed, jnp.array(True)))
-    return mask | (~flood & inv) | mask
+    return mask | (~flood & inv)
 
 
 def connected_components(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:

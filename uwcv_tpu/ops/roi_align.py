@@ -293,6 +293,9 @@ def _window_geometry(rois, shapes, strides_vals, output_size,
     span_px = jnp.maximum(rois[..., 2] - rois[..., 0],
                           rois[..., 3] - rois[..., 1])
     fit = jnp.ceil(jnp.log2(jnp.maximum(span_px / (window - 2.0), 1e-6)))
+    # the bump tops out at the virtual stride-64 level: rois spanning more
+    # than (window-2)*64 px (≈1920 at window=32) DO window-truncate —
+    # unreachable below test_max_size≈1900 (documented at the config knob)
     levels = jnp.clip(jnp.maximum(levels, fit.astype(jnp.int32)), 2, 6)
     li = levels - 2                                           # [R] in 0..4
     tbl = lambda vals: jnp.asarray(vals, jnp.float32)[li]     # [R]
