@@ -80,3 +80,45 @@ def test_pallas_roi_align_matches_xla():
                                        interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pooler_custom_vjp_grad_matches_xla():
+    """Gradient through the custom_vjp pooler (Pallas-kernel forward in
+    interpret mode, XLA scatter-add backward) vs autodiff of the plain
+    vmapped XLA pooler — training pools through the kernel (VERDICT r2 #3),
+    so d(loss)/d(features) must agree."""
+    from uwcv_tpu.ops.roi_align import (
+        multilevel_roi_align,
+        multilevel_roi_align_batched,
+    )
+
+    rng = np.random.default_rng(11)
+    B, C = 2, 4
+    feats = {f"p{l}": jnp.asarray(rng.normal(
+        0, 1, (B, 64 >> (l - 2), 80 >> (l - 2), C)).astype(np.float32))
+        for l in range(2, 6)}
+    strides = {f"p{l}": 2 ** l for l in range(2, 6)}
+    ctr = rng.uniform(40, 200, (B, 6, 2))
+    wh = rng.uniform(16, 120, (B, 6, 2))
+    rois = jnp.asarray(np.concatenate(
+        [ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32))
+    cotangent = jnp.asarray(
+        rng.normal(0, 1, (B, 6, 7, 7, C)).astype(np.float32))
+
+    def loss_kernel(f):
+        out = multilevel_roi_align_batched(f, rois, strides, 7,
+                                           interpret=True)
+        return (out * cotangent).sum()
+
+    def loss_xla(f):
+        out = jax.vmap(lambda ff, rr: multilevel_roi_align(
+            ff, rr, strides, 7))(f, rois)
+        return (out * cotangent).sum()
+
+    v_k, g_kernel = jax.value_and_grad(loss_kernel)(feats)
+    v_x, g_xla = jax.value_and_grad(loss_xla)(feats)
+    np.testing.assert_allclose(float(v_k), float(v_x), rtol=1e-5)
+    for lvl in g_xla:
+        np.testing.assert_allclose(np.asarray(g_kernel[lvl]),
+                                   np.asarray(g_xla[lvl]),
+                                   rtol=1e-4, atol=1e-5)

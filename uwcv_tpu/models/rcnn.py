@@ -38,10 +38,7 @@ from uwcv_tpu.models.resnet import ResNet
 from uwcv_tpu.models.rpn import LEVELS, Proposals, RPNHead, generate_proposals
 from uwcv_tpu.ops.mask_paste import crop_and_resize_masks
 from uwcv_tpu.ops.matcher import match_boxes, subsample_labels
-from uwcv_tpu.ops.roi_align import (
-    multilevel_roi_align,
-    multilevel_roi_align_batched,
-)
+from uwcv_tpu.ops.roi_align import multilevel_roi_align_batched
 from uwcv_tpu.structures.boxes import encode_deltas
 
 STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
@@ -178,8 +175,13 @@ class MaskRCNN(nn.Module):
         deltas_cat = jnp.concatenate(
             [deltas[n].reshape(b, -1, 4) for n in LEVELS], axis=1)    # [B,A,4]
 
-        def per_image_losses(feats_i, obj_i, deltas_i, prop_boxes, prop_valid,
+        def per_image_sample(obj_i, deltas_i, prop_boxes, prop_valid,
                              boxes_i, classes_i, masks_i, valid_i, key_i):
+            """RPN losses + ROI sampling for ONE image.  Pooling and the
+            heads run AFTER the vmap, batched over all images' rois at once:
+            the fused Pallas pooler (ops/roi_align.py pool_windows, now
+            differentiable) wants one flat roi array, and [B·R] head matmuls
+            tile the MXU better than vmapped per-image [R] ones."""
             rpn_key, roi_key = jax.random.split(key_i)
             # --- RPN losses ---
             m = match_boxes(anchors_cat, boxes_i, valid_i,
@@ -216,55 +218,72 @@ class MaskRCNN(nn.Module):
             # class target: matched class for fg, background (C) for bg
             roi_cls_target = jnp.where(
                 s_pos, classes_i[roi_gt_idx], c.num_classes)
-
-            pooled = multilevel_roi_align(
-                {k: feats_i[k] for k in ("p2", "p3", "p4", "p5")},
-                roi_boxes, STRIDES, c.pooler_resolution_box,
-                c.canonical_box_size, c.canonical_level)
-            logits, box_deltas = self.box_head(pooled)
-
-            cls_loss = softmax_ce(logits, roi_cls_target).mean()
-
-            reg_targets = encode_deltas(roi_boxes, roi_gt_boxes,
-                                        c.roi_bbox_reg_weights)
-            fg_onehot = jax.nn.one_hot(
-                jnp.clip(roi_cls_target, 0, c.num_classes - 1),
-                c.num_classes, dtype=box_deltas.dtype)
-            per_roi_deltas = jnp.einsum("rcd,rc->rd", box_deltas, fg_onehot)
-            fg = s_pos.astype(jnp.float32)
-            box_loss = (jnp.abs(per_roi_deltas - reg_targets).sum(-1)
-                        * fg).sum() / jnp.maximum(
-                            c.roi_batch_size_per_image, 1)
-
-            losses = {"rpn_cls": rpn_cls, "rpn_loc": rpn_loc,
-                      "cls": cls_loss, "box_reg": box_loss}
-
+            out = {
+                "rpn_cls": rpn_cls, "rpn_loc": rpn_loc,
+                "roi_boxes": roi_boxes,
+                "cls_target": roi_cls_target,
+                "reg_targets": encode_deltas(roi_boxes, roi_gt_boxes,
+                                             c.roi_bbox_reg_weights),
+                "is_pos": s_pos,
+            }
             if c.mask_on:
-                mpooled = multilevel_roi_align(
-                    {k: feats_i[k] for k in ("p2", "p3", "p4", "p5")},
-                    roi_boxes, STRIDES, c.pooler_resolution_mask,
-                    c.canonical_box_size, c.canonical_level)
-                mlogits = self.mask_head(mpooled)     # [R,28,28,C]
-                sel = jax.nn.one_hot(
-                    jnp.clip(roi_cls_target, 0, c.num_classes - 1),
-                    c.num_classes, dtype=mlogits.dtype)
-                per_class = jnp.einsum("rhwc,rc->rhw", mlogits, sel)
-                gt_roi_masks = crop_and_resize_masks(
+                out["gt_roi_masks"] = crop_and_resize_masks(
                     masks_i[roi_gt_idx], roi_boxes, c.mask_head_resolution)
-                mask_ce = optax_sigmoid_ce(per_class,
-                                           (gt_roi_masks > 0.5).astype(
-                                               jnp.float32))
-                mask_loss = (mask_ce.mean(axis=(1, 2)) * fg).sum() / \
-                    jnp.maximum(fg.sum(), 1.0)
-                losses["mask"] = mask_loss
-            return losses
+            return out
 
-        feats_b = {k: feats[k] for k in ("p2", "p3", "p4", "p5")}
-        losses = jax.vmap(per_image_losses)(
-            feats_b, obj_cat, deltas_cat, proposals.boxes, proposals.valid,
+        sampled = jax.vmap(per_image_sample)(
+            obj_cat, deltas_cat, proposals.boxes, proposals.valid,
             gt_boxes, gt_classes, gt_masks, gt_valid,
             jax.random.split(rng, b))
-        return {k: v.mean() for k, v in losses.items()}
+
+        feats_b = {k: feats[k] for k in ("p2", "p3", "p4", "p5")}
+        roi_boxes = sampled["roi_boxes"]                      # [B,R,4]
+        r = roi_boxes.shape[1]
+        n = b * r
+        tgt = sampled["cls_target"].reshape(n)
+        fg = sampled["is_pos"].reshape(n).astype(jnp.float32)
+
+        pooled = multilevel_roi_align_batched(
+            feats_b, roi_boxes, STRIDES, c.pooler_resolution_box,
+            c.canonical_box_size, c.canonical_level,
+            use_pallas=c.pooler_pallas)
+        logits, box_deltas = self.box_head(
+            pooled.reshape((n,) + pooled.shape[2:]))
+
+        cls_loss = softmax_ce(logits, tgt).mean()
+
+        fg_onehot = jax.nn.one_hot(
+            jnp.clip(tgt, 0, c.num_classes - 1),
+            c.num_classes, dtype=box_deltas.dtype)
+        per_roi_deltas = jnp.einsum("rcd,rc->rd", box_deltas, fg_onehot)
+        box_loss = (jnp.abs(per_roi_deltas
+                            - sampled["reg_targets"].reshape(n, 4)).sum(-1)
+                    * fg).sum() / jnp.maximum(n, 1)
+
+        losses = {"rpn_cls": sampled["rpn_cls"].mean(),
+                  "rpn_loc": sampled["rpn_loc"].mean(),
+                  "cls": cls_loss, "box_reg": box_loss}
+
+        if c.mask_on:
+            mpooled = multilevel_roi_align_batched(
+                feats_b, roi_boxes, STRIDES, c.pooler_resolution_mask,
+                c.canonical_box_size, c.canonical_level,
+                use_pallas=c.pooler_pallas)
+            mlogits = self.mask_head(
+                mpooled.reshape((n,) + mpooled.shape[2:]))   # [B·R,28,28,C]
+            sel = jax.nn.one_hot(
+                jnp.clip(tgt, 0, c.num_classes - 1),
+                c.num_classes, dtype=mlogits.dtype)
+            per_class = jnp.einsum("rhwc,rc->rhw", mlogits, sel)
+            gt_roi = sampled["gt_roi_masks"].reshape(
+                n, c.mask_head_resolution, c.mask_head_resolution)
+            mask_ce = optax_sigmoid_ce(per_class,
+                                       (gt_roi > 0.5).astype(jnp.float32))
+            # Detectron2's mask_rcnn_loss: mean over ALL fg rois in the
+            # batch jointly (not per-image means averaged)
+            losses["mask"] = (mask_ce.mean(axis=(1, 2)) * fg).sum() / \
+                jnp.maximum(fg.sum(), 1.0)
+        return losses
 
 
 def init_params(model: "MaskRCNN", rng: jax.Array,

@@ -13,8 +13,15 @@ ascending performance (PERF.md has the measured ladder):
 3. ``multilevel_roi_align_batched``: the FUSED Pallas kernel
    (ops/pallas/roi_align_kernel.py) — per-roi window DMA straight into
    VMEM, both interpolation contractions on the MXU in-kernel, only
-   [P,P,C] written back; 3.4× (2) at production scale.  Inference-only
-   (no VJP); falls back to vmapped (2) off-TPU.
+   [P,P,C] written back; 3.4× (2) at production scale.  DIFFERENTIABLE via
+   ``pool_windows``'s custom_vjp: forward = the kernel, backward = the
+   transpose of the mathematically-identical XLA window formulation (XLA
+   turns the dynamic_slice transpose into a scatter-add of the
+   back-interpolated window gradients), so training pools through the fused
+   kernel too.  Rois/geometry get zero cotangents — proposals are
+   stop_gradient'd upstream (models/rpn.py:92), matching Detectron2, which
+   never backprops through proposal coordinates.  Falls back to the same
+   flat XLA formulation off-TPU.
 
 Shared semantics: Detectron2 ``aligned=True`` (half-pixel shift, the -0.5
 below); static 2×2 sample grid per bin (the standard static-shape stand-in
@@ -31,6 +38,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def fpn_level_assignment(
@@ -333,6 +341,74 @@ def _window_geometry(rois, shapes, strides_vals, output_size,
     return li, y0.astype(jnp.int32), x0.astype(jnp.int32), wy, wx
 
 
+def _pool_windows_xla(canvas, slab, y0, x0, wy, wx, window: int,
+                      window_x: int):
+    """Flat windowed pool against a [S, Hmax, Wmax, C] slab canvas — the
+    XLA twin of the Pallas kernel (same geometry, same dtype discipline:
+    feature-dtype MXU contractions with f32 accumulation).  Natively
+    differentiable: the vjp of ``dynamic_slice`` is a scatter-add of the
+    back-interpolated window cotangents into a zero canvas, which is exactly
+    the RoIAlign backward."""
+    c = canvas.shape[-1]
+
+    def one(sl, oy, ox, wy_r, wx_r):
+        patch = jax.lax.dynamic_slice(
+            canvas, (sl, oy, ox, jnp.zeros_like(sl)),
+            (1, window, window_x, c))[0]
+        wdt = patch.dtype
+        rows = jnp.einsum("ph,hwc->pwc", wy_r.astype(wdt), patch,
+                          preferred_element_type=jnp.float32)   # [P,win_x,C]
+        out = jnp.einsum("qw,pwc->pqc", wx_r.astype(wdt),
+                         rows.astype(wdt),
+                         preferred_element_type=jnp.float32)    # [P,P,C]
+        return out.astype(canvas.dtype)
+
+    return jax.vmap(one)(slab, y0, x0, wy, wx)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def pool_windows(window: int, window_x: int, use_kernel: bool,
+                 interpret: bool, canvas, slab, y0, x0, wy, wx):
+    """Windowed pool with a TPU-kernel forward and an XLA backward.
+
+    canvas [S,Hmax,Wmax,C]; slab/y0/x0 [R] int32 window origins (x0
+    8-aligned when use_kernel); wy [R,P,window] / wx [R,P,window_x]
+    bin-folded interp weights → pooled [R,P,P,C].
+    """
+    if use_kernel:
+        from uwcv_tpu.ops.pallas.roi_align_kernel import (
+            roi_align_windows_pallas,
+        )
+
+        return roi_align_windows_pallas(slab, y0, x0, wy, wx, canvas,
+                                        window=window, window_x=window_x,
+                                        interpret=interpret)
+    return _pool_windows_xla(canvas, slab, y0, x0, wy, wx, window, window_x)
+
+
+def _pool_windows_fwd(window, window_x, use_kernel, interpret,
+                      canvas, slab, y0, x0, wy, wx):
+    out = pool_windows(window, window_x, use_kernel, interpret,
+                       canvas, slab, y0, x0, wy, wx)
+    return out, (canvas, slab, y0, x0, wy, wx)
+
+
+def _pool_windows_bwd(window, window_x, use_kernel, interpret, res, g):
+    canvas, slab, y0, x0, wy, wx = res
+    _, vjp = jax.vjp(
+        lambda cv: _pool_windows_xla(cv, slab, y0, x0, wy, wx,
+                                     window, window_x), canvas)
+    (dcanvas,) = vjp(g)
+    # int geometry: tangent dtype is float0; weights: zero cotangents —
+    # they are functions of stop_gradient'd proposal boxes only
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (dcanvas, f0(slab), f0(y0), f0(x0),
+            jnp.zeros_like(wy), jnp.zeros_like(wx))
+
+
+pool_windows.defvjp(_pool_windows_fwd, _pool_windows_bwd)
+
+
 def multilevel_roi_align_batched(
     features: Dict[str, jnp.ndarray],
     rois: jnp.ndarray,
@@ -352,19 +428,27 @@ def multilevel_roi_align_batched(
     (ops/pallas/roi_align_kernel.py): the whole batch's level slabs stay in
     HBM, each roi DMAs exactly its window into VMEM and both interpolation
     contractions happen in-kernel — ~6× less HBM traffic than the XLA
-    formulation (PERF.md).  Elsewhere (CPU/interpret) it falls back to the
-    vmapped XLA path.  Inference-only: no VJP (training pools through
-    ``multilevel_roi_align``)."""
+    formulation (PERF.md).  Off-TPU the same geometry pools through the
+    flat XLA twin ``_pool_windows_xla``.  Both routes go through
+    ``pool_windows``'s custom_vjp, so this is fully DIFFERENTIABLE —
+    training pools here (backward = XLA scatter-add transpose; roi
+    coordinates are stop_gradient'd upstream).
+
+    ``use_pallas=False`` keeps the per-image vmapped formulation instead:
+    that path is SPMD-partitionable by XLA (dp×sp sharded predictors use
+    it — pallas_call has no partitioning rule for a *spatially* sharded
+    canvas; pure-DP meshes keep the kernel via shard_map in the
+    Predictor)."""
     from uwcv_tpu.ops.nms import _pallas_available
 
-    if (not use_pallas or not _pallas_available()) and not interpret:
+    if not use_pallas and not interpret:
         def one(f, r):
             return multilevel_roi_align(
                 f, r, strides, output_size, canonical_size,
                 canonical_level, samples_per_bin, window)
         return jax.vmap(one)(features, rois)
 
-    from uwcv_tpu.ops.pallas.roi_align_kernel import roi_align_windows_pallas
+    use_kernel = (interpret or _pallas_available())
 
     b = features["p2"].shape[0]
     r = rois.shape[1]
@@ -385,10 +469,9 @@ def multilevel_roi_align_batched(
 
     slab = (jnp.arange(b, dtype=jnp.int32)[:, None] * 5 + li).reshape(-1)
     p = output_size
-    pooled = roi_align_windows_pallas(
-        slab, y0.reshape(-1), x0.reshape(-1),
+    pooled = pool_windows(
+        window, window + x_align, use_kernel, interpret,
+        canvas, slab, y0.reshape(-1), x0.reshape(-1),
         wy.reshape(b * r, p, window),
-        wx.reshape(b * r, p, window + x_align),
-        canvas, window=window, window_x=window + x_align,
-        interpret=interpret)
+        wx.reshape(b * r, p, window + x_align))
     return pooled.reshape(b, r, p, p, c)
