@@ -1,0 +1,153 @@
+"""Assembled-trunk torch parity (VERDICT r2 missing #4).
+
+Round-2 parity was per-module (stem+one block, FPN, RPN head, box head, mask
+head) — an inter-module wiring error (downsample stride placement, stage
+routing, FPN level hookup) would pass every one of those tests.  This test
+composes the full torch R50 trunk — stem → res2..res5 with real projection
+downsamples → FPN — saves it under torchvision+Detectron2 checkpoint names,
+imports it through ``engine/checkpoint.py::import_torch_weights`` into the
+FULL MaskRCNN param tree (the same path ``load_predictor`` uses for a real
+.pth), and asserts p2–p6 parity in ONE forward.  This pins the
+``predictor(im)`` backbone contract of the reference
+(/root/reference/nn_inference.py:321).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from uwcv_tpu.config import ModelConfig
+from uwcv_tpu.engine.checkpoint import import_torch_weights
+from uwcv_tpu.models.rcnn import MaskRCNN
+
+C_FPN = 256
+STAGES = {1: (64, 64, 256, 1), 2: (256, 128, 512, 2),
+          3: (512, 256, 1024, 2), 4: (1024, 512, 2048, 2)}
+BLOCKS = {1: 3, 2: 4, 3: 6, 4: 3}  # R50
+
+
+def _conv(cin, cout, k, s=1, p=0, rng=None, bias=False):
+    m = torch.nn.Conv2d(cin, cout, k, s, p, bias=bias)
+    with torch.no_grad():
+        m.weight.copy_(torch.from_numpy(
+            rng.normal(0, 0.03, m.weight.shape).astype("f")))
+        if bias:
+            m.bias.copy_(torch.from_numpy(
+                rng.normal(0, 0.05, m.bias.shape).astype("f")))
+    return m
+
+
+def _bn(c, rng):
+    """BatchNorm in eval mode with NON-TRIVIAL running stats, so the test
+    also proves the FrozenBN fold (scale=γ/√(var+ε), bias=β−mean·scale)."""
+    m = torch.nn.BatchNorm2d(c)
+    with torch.no_grad():
+        m.weight.copy_(torch.from_numpy(
+            rng.uniform(0.5, 1.5, c).astype("f")))
+        m.bias.copy_(torch.from_numpy(rng.normal(0, 0.2, c).astype("f")))
+        m.running_mean.copy_(torch.from_numpy(
+            rng.normal(0, 0.3, c).astype("f")))
+        m.running_var.copy_(torch.from_numpy(
+            rng.uniform(0.5, 2.0, c).astype("f")))
+    return m
+
+
+class TVBottleneck(torch.nn.Module):
+    """torchvision-ordered bottleneck: stride on the 3×3 conv."""
+
+    def __init__(self, cin, cmid, cout, stride, rng, project):
+        super().__init__()
+        self.conv1 = _conv(cin, cmid, 1, rng=rng)
+        self.bn1 = _bn(cmid, rng)
+        self.conv2 = _conv(cmid, cmid, 3, stride, 1, rng=rng)
+        self.bn2 = _bn(cmid, rng)
+        self.conv3 = _conv(cmid, cout, 1, rng=rng)
+        self.bn3 = _bn(cout, rng)
+        self.downsample = None
+        if project:
+            self.downsample = torch.nn.Sequential(
+                _conv(cin, cout, 1, stride, rng=rng), _bn(cout, rng))
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return torch.relu(y + idn)
+
+
+class TorchTrunk(torch.nn.Module):
+    """Full R50 + FPN, torchvision trunk names + D2 FPN names."""
+
+    def __init__(self, rng):
+        super().__init__()
+        self.conv1 = _conv(3, 64, 7, 2, 3, rng=rng)
+        self.bn1 = _bn(64, rng)
+        for s, (cin, cmid, cout, stride) in STAGES.items():
+            blocks = [TVBottleneck(cin if b == 0 else cout, cmid, cout,
+                                   stride if b == 0 else 1, rng, b == 0)
+                      for b in range(BLOCKS[s])]
+            setattr(self, f"layer{s}", torch.nn.Sequential(*blocks))
+        cins = {2: 256, 3: 512, 4: 1024, 5: 2048}
+        for i in range(2, 6):
+            setattr(self, f"lat{i}", _conv(cins[i], C_FPN, 1, rng=rng,
+                                           bias=True))
+            setattr(self, f"out{i}", _conv(C_FPN, C_FPN, 3, 1, 1, rng=rng,
+                                           bias=True))
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = torch.nn.functional.max_pool2d(x, 3, 2, 1)
+        feats = {}
+        for s in range(1, 5):
+            x = getattr(self, f"layer{s}")(x)
+            feats[s + 1] = x
+        lat = {i: getattr(self, f"lat{i}")(feats[i]) for i in range(2, 6)}
+        td = {5: lat[5]}
+        for i in (4, 3, 2):
+            td[i] = lat[i] + torch.nn.functional.interpolate(
+                td[i + 1], scale_factor=2, mode="nearest")
+        out = {i: getattr(self, f"out{i}")(td[i]) for i in range(2, 6)}
+        out[6] = torch.nn.functional.max_pool2d(out[5], 1, 2)
+        return out
+
+    def state_dict_ckpt_names(self):
+        sd = dict(self.state_dict())
+        # FPN under Detectron2 names (the importer's only scheme for FPN)
+        for i in range(2, 6):
+            for ours, theirs in ((f"lat{i}", f"backbone.fpn_lateral{i}"),
+                                 (f"out{i}", f"backbone.fpn_output{i}")):
+                for suf in ("weight", "bias"):
+                    sd[f"{theirs}.{suf}"] = sd.pop(f"{ours}.{suf}")
+        return sd
+
+
+def test_assembled_trunk_parity(tmp_path):
+    rng = np.random.default_rng(42)
+    tm = TorchTrunk(rng)
+    tm.eval()
+    path = str(tmp_path / "r50_trunk.pth")
+    torch.save(tm.state_dict_ckpt_names(), path)
+
+    cfg = ModelConfig(depth=50, dtype="float32", num_classes=3)
+    model = MaskRCNN(cfg)
+    from uwcv_tpu.models.rcnn import init_params
+
+    params = init_params(model, jax.random.key(0))
+    params = import_torch_weights(path, params, cfg)
+
+    img = rng.normal(0, 1, (1, 3, 128, 160)).astype("f")
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(img))
+
+    ours = model.apply(params, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                       method=lambda m, x: m.fpn(m.backbone(x)))
+    for i in range(2, 7):
+        np.testing.assert_allclose(
+            np.asarray(ours[f"p{i}"]),
+            theirs[i].numpy().transpose(0, 2, 3, 1),
+            rtol=2e-3, atol=2e-3, err_msg=f"p{i}")
