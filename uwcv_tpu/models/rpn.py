@@ -93,8 +93,8 @@ def generate_proposals(
         deltas = jax.lax.stop_gradient(deltas)
 
     def per_image(obj_i, deltas_i):
-        cand_boxes, cand_scores, cand_level = [], [], []
-        for li, name in enumerate(LEVELS):
+        cand_boxes, cand_scores = [], []
+        for name in LEVELS:
             logits = obj_i[name].reshape(-1)          # [HWA]
             d = deltas_i[name].reshape(-1, 4)         # [HWA,4]
             k = min(pre_k, logits.shape[0])
@@ -105,20 +105,23 @@ def generate_proposals(
                                   cfg.rpn_bbox_reg_weights)
             boxes = clip_boxes(boxes, image_size)
             ok = nonempty_boxes(boxes, 0.0)
+            scores = jnp.where(ok, top_scores, NEG_INF)
+            # PER-LEVEL NMS: Detectron2 (v0.3+) batched_nms on level ids
+            # never suppresses across levels, so its suppression graph is
+            # block-diagonal by level and per-level NMS is EXACTLY
+            # equivalent to the concatenated level-offset pass this
+            # replaces — while cutting the work ~levels× (five N≤pre_k
+            # problems instead of one N=5·pre_k one) and keeping every
+            # problem inside the Pallas VMEM kernel's n≤1024 window
+            # (ops/pallas/nms_kernel.py), which the 5000-candidate
+            # concatenated problem overflowed (PERF.md r3 sink: RPN head +
+            # proposal NMS was 25.3 ms/batch).
+            keep = nms_mask(boxes, scores, cfg.rpn_nms_thresh)
             cand_boxes.append(boxes)
-            cand_scores.append(jnp.where(ok, top_scores, NEG_INF))
-            cand_level.append(jnp.full((k,), li, jnp.float32))
+            cand_scores.append(jnp.where(keep, scores, NEG_INF))
 
         boxes = jnp.concatenate(cand_boxes)      # [sum_k, 4]
-        scores = jnp.concatenate(cand_scores)
-        level = jnp.concatenate(cand_level)
-
-        # level-offset trick: boxes from different levels never suppress
-        # each other (matches Detectron2 batched_nms on level ids)
-        h, w = image_size
-        offset = level[:, None] * (2.0 * max(h, w))
-        keep = nms_mask(boxes + offset, scores, cfg.rpn_nms_thresh)
-        masked = jnp.where(keep, scores, NEG_INF)
+        masked = jnp.concatenate(cand_scores)
         top_scores, idx = jax.lax.top_k(masked, post_k)
         valid = top_scores > NEG_INF / 2
         out_boxes = jnp.where(valid[:, None], boxes[idx], 0.0)
