@@ -54,7 +54,11 @@ def export_predictor(predictor, path: str, batch_size: int = 8,
         jax.ShapeDtypeStruct((batch_size, 2), jnp.int32),
     )
     kwargs = {"platforms": platforms} if platforms else {}
-    exp = jax.export.export(predictor._jit_run, **kwargs)(*args)
+    # _jit_run is a host-side lambda closing over (jit fn, params); export
+    # wants ONE jitted callable — re-jitting the closure embeds the weights
+    # as constants in the traced program, which is exactly the "weights
+    # baked in" serving contract
+    exp = jax.export.export(jax.jit(predictor._jit_run), **kwargs)(*args)
     data = exp.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:

@@ -243,17 +243,24 @@ def device_groups(n_parallel: int) -> List[list]:
 def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
                       max_iter: int = 100, n_parallel: Optional[int] = None,
                       seed: int = 0,
-                      eval_max_images: Optional[int] = None) -> Dict[str, Any]:
+                      eval_max_images: Optional[int] = 64) -> Dict[str, Any]:
     """Search LR / anchor scale / ROI batch (BASELINE config #5, README ToDo
     "DO OPTUNA OPTIMIZATION").
 
     Objective: **val segm mAP** (maximized) on the Test split after a short
-    fine-tune, scored by eval/coco_eval.py — model quality, not training
-    loss (loss is gameable by LR→0).  When no Test split exists the
-    objective falls back to final training loss (minimized); the returned
-    dict's ``objective`` field says which was used.
+    fine-tune, scored by eval/coco_eval.py at score threshold 0.05 (the
+    production 0.80 threshold kills recall and flattens the objective) —
+    model quality, not training loss (loss is gameable by LR→0).  When no
+    Test split exists the objective falls back to final training loss
+    (minimized); the returned dict's ``objective`` field says which was used.
 
-    Trials run one-per-device-group concurrently.
+    Trials run one-per-device-group concurrently.  The eval predictor
+    compile (minutes at production canvas through a remote link) is
+    amortized: one compiled Predictor per (device group, anchor_scale) —
+    anchor sizes are the ONLY searched knob baked into the inference graph;
+    lr/roi_batch are train-only — and later trials swap weights in with
+    ``Predictor.set_params`` (no retrace).  ``eval_max_images`` caps the
+    objective's eval cost (default 64 images).
     """
     import os
     import queue
@@ -296,6 +303,27 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
     group_queue: "queue.Queue[int]" = queue.Queue()
     for gid in range(len(groups)):
         group_queue.put(gid)
+
+    # shared eval predictors: (gid, anchor_scale) → Predictor; guarded by a
+    # lock only around construction (each gid serves one trial at a time)
+    predictor_cache: Dict[tuple, Any] = {}
+    cache_lock = threading.Lock()
+
+    def _eval_predictor(gid: int, anchor_scale: float, tcfg, params):
+        from uwcv_tpu.engine.predictor import Predictor
+
+        key = (gid, float(anchor_scale))
+        with cache_lock:
+            pred = predictor_cache.get(key)
+        if pred is None:
+            ecfg = copy.deepcopy(tcfg)
+            ecfg.model.roi_score_thresh_test = 0.05
+            pred = Predictor(ecfg, params)
+            with cache_lock:
+                predictor_cache[key] = pred
+        else:
+            pred.set_params(params)
+        return pred
 
     def objective(trial: Trial) -> float:
         lr = trial.suggest_float("base_lr", 1e-5, 1e-2, log=True)
@@ -344,7 +372,8 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
                 from uwcv_tpu.eval.coco_eval import evaluate_split
 
                 params = jax.device_put(state.params, groups[gid][0])
-                res = evaluate_split(tcfg, eval_dicts, params=params,
+                pred = _eval_predictor(gid, anchor_scale, tcfg, params)
+                res = evaluate_split(tcfg, eval_dicts, predictor=pred,
                                      max_images=eval_max_images)
                 v = res["segm"]["AP"]
                 if not math.isfinite(v) or v < 0:   # -1 = undefined row
