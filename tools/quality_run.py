@@ -1,0 +1,164 @@
+"""End-to-end model-quality proof: synth → train → eval → QUALITY json.
+
+The reference's whole purpose is fine-tune → usable masks
+(/root/reference/nn_train.py:211-213; README ToDo "metrics",
+/root/reference/README.md:7), but it never records a single metric.  This
+script is the rebuild's missing proof: it trains the flagship R50-FPN Mask
+R-CNN on the synthetic 4-class dataset (the reference's polyHIPE data is not
+shipped), evaluates COCO bbox/segm mAP on the held-out Test split with
+eval/coco_eval.py, and writes QUALITY_r{N}.json with the per-class numbers
+plus the training curve.
+
+From-scratch notes (no COCO-pretrained weights exist in this zero-egress
+image): solver.freeze_at=0 (freezing a random stem would train behind a
+fixed random projection) and a higher LR than the reference's fine-tune
+2.5e-4 — see DEFAULTS below; every knob has an env override so reruns can
+iterate without editing.
+
+Usage: python tools/quality_run.py  (run from the repo root, on the chip)
+Env: UWCV_Q_ITERS, UWCV_Q_LR, UWCV_Q_BATCH, UWCV_Q_TRAIN/TEST (dataset
+sizes), UWCV_Q_OUT (json path), UWCV_Q_ROOT (dataset dir), UWCV_Q_RESUME=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ITERS = int(os.environ.get("UWCV_Q_ITERS", "3000"))
+LR = float(os.environ.get("UWCV_Q_LR", "1e-3"))
+BATCH = int(os.environ.get("UWCV_Q_BATCH", "2"))
+N_TRAIN = int(os.environ.get("UWCV_Q_TRAIN", "64"))
+N_TEST = int(os.environ.get("UWCV_Q_TEST", "16"))
+ROOT = os.environ.get("UWCV_Q_ROOT", os.path.join(REPO, "DATASET_QUALITY"))
+OUT_JSON = os.environ.get("UWCV_Q_OUT", os.path.join(REPO, "QUALITY_r03.json"))
+OUT_DIR = os.environ.get("UWCV_Q_DIR", os.path.join(REPO, "output", "quality_r50"))
+RESUME = os.environ.get("UWCV_Q_RESUME") == "1"
+SCORE_THRESH_EVAL = float(os.environ.get("UWCV_Q_EVAL_THRESH", "0.05"))
+
+T0 = time.time()
+
+
+def log(msg: str) -> None:
+    print(f"[quality +{time.time() - T0:7.1f}s] {msg}", flush=True)
+
+
+def main() -> int:
+    from uwcv_tpu.utils.platform import setup_jax
+
+    setup_jax()
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    from uwcv_tpu.config import Config
+    from uwcv_tpu.data.loader import TrainLoader
+    from uwcv_tpu.data.superannotate import get_superannotate_dicts
+    from uwcv_tpu.data.synthetic import generate_dataset
+    from uwcv_tpu.engine.trainer import Trainer
+
+    # ---- dataset ----
+    if not os.path.isdir(os.path.join(ROOT, "Train")):
+        log(f"generating synthetic dataset: {N_TRAIN} train / {N_TEST} test")
+        generate_dataset(ROOT, num_train=N_TRAIN, num_test=N_TEST,
+                         num_inference=4, image_size=(512, 512), seed=7)
+    train_dicts = get_superannotate_dicts(os.path.join(ROOT, "Train"))
+    test_dicts = get_superannotate_dicts(os.path.join(ROOT, "Test"))
+    log(f"dataset ready: {len(train_dicts)} train, {len(test_dicts)} test")
+
+    # ---- config ----
+    cfg = Config()
+    cfg.model.depth = 50
+    cfg.solver.ims_per_batch = BATCH
+    cfg.solver.base_lr = LR
+    cfg.solver.max_iter = ITERS
+    cfg.solver.warmup_iters = min(250, ITERS // 4)
+    cfg.solver.freeze_at = 0              # from scratch: train everything
+    cfg.solver.checkpoint_period = max(ITERS // 3, 1)
+    cfg.solver.log_period = 50
+    cfg.input.max_gt_instances = 16       # synthetic images carry <= ~10
+    cfg.output_dir = OUT_DIR
+    cfg.data.classes_csv = os.path.join(ROOT, "classes.csv")
+
+    # ---- train ----
+    trainer = Trainer(cfg)
+    trainer.init_state()
+    if RESUME:
+        trainer.resume_or_load(resume=True)
+        log(f"resumed at step {int(trainer.state.step)}")
+    loader = TrainLoader(train_dicts, cfg, seed=cfg.solver.seed).start()
+    log(f"training: {ITERS} iters, batch {BATCH}, lr {LR} "
+        f"(first step compiles; minutes if uncached)")
+    t_train = time.time()
+    try:
+        trainer.fit(iter(loader), log_fn=log)
+    finally:
+        loader.stop()
+    train_s = time.time() - t_train
+    steps_done = int(trainer.state.step)
+    log(f"training done: {steps_done} steps in {train_s:.1f}s "
+        f"({steps_done / max(train_s, 1e-9):.2f} steps/s incl. compile)")
+
+    # ---- loss curve from metrics.json ----
+    curve = []
+    mpath = os.path.join(cfg.output_dir, "metrics.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            for line in f:
+                try:
+                    m = json.loads(line)
+                    curve.append({"iteration": m["iteration"],
+                                  "total_loss": round(m["total_loss"], 4)})
+                except (json.JSONDecodeError, KeyError):
+                    pass
+
+    # ---- eval: COCO bbox/segm mAP on the held-out Test split ----
+    from uwcv_tpu.eval.coco_eval import evaluate_split
+
+    eval_cfg = cfg
+    eval_cfg.model.roi_score_thresh_test = SCORE_THRESH_EVAL
+    log(f"eval: {len(test_dicts)} test images at score thresh "
+        f"{SCORE_THRESH_EVAL} (predictor compiles first)")
+    t_eval = time.time()
+    results = evaluate_split(eval_cfg, test_dicts,
+                             params=trainer.state.params)
+    eval_s = time.time() - t_eval
+    log(f"eval done in {eval_s:.1f}s")
+    for iou_type in ("bbox", "segm"):
+        r = results[iou_type]
+        log(f"{iou_type}: AP={r['AP']:.4f} AP50={r['AP50']:.4f} "
+            f"AP75={r['AP75']:.4f}")
+
+    payload = {
+        "task": "from-scratch R50-FPN Mask R-CNN on synthetic 4-class data",
+        "provenance": {
+            "weights": "random init (no pretrained weights in this image)",
+            "iters": steps_done, "batch": BATCH, "lr": LR,
+            "freeze_at": 0,
+            "train_images": len(train_dicts), "test_images": len(test_dicts),
+            "image_size": 512, "train_input": list(cfg.input.train_size),
+            "eval_score_thresh": SCORE_THRESH_EVAL,
+            "train_wall_s": round(train_s, 1),
+            "eval_wall_s": round(eval_s, 1),
+            "checkpoint": os.path.join(cfg.output_dir, "model_final"),
+        },
+        "bbox": results["bbox"],
+        "segm": results["segm"],
+        "loss_curve": curve,
+    }
+    with open(OUT_JSON, "w") as f:
+        json.dump(payload, f, indent=2)
+    log(f"wrote {OUT_JSON}")
+    print(json.dumps({"segm_AP": results["segm"]["AP"],
+                      "segm_AP50": results["segm"]["AP50"],
+                      "bbox_AP": results["bbox"]["AP"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -145,6 +145,12 @@ class SolverConfig:
     checkpoint_period: int = 500
     log_period: int = 20
     seed: int = 0
+    # Backbone freeze depth (Detectron2 BACKBONE.FREEZE_AT): 2 freezes the
+    # stem and res2 — correct for COCO-pretrained fine-tuning (the reference
+    # path, nn_train.py:200).  Set 0 when training FROM SCRATCH: freezing a
+    # randomly-initialized stem would train the whole network behind a fixed
+    # random projection.
+    freeze_at: int = 2
 
 
 @dataclass

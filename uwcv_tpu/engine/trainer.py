@@ -73,7 +73,7 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     # multi_transform + set_to_zero, NOT optax.masked: masked() passes the
     # raw gradient through untouched for mask=False leaves, which would
     # *update* frozen params; set_to_zero hard-freezes them.
-    mask = _trainable_mask(params)
+    mask = _trainable_mask(params, freeze_at=cfg.solver.freeze_at)
     labels = jax.tree_util.tree_map(
         lambda t: "train" if t else "freeze", mask)
     return optax.multi_transform(
