@@ -40,6 +40,12 @@ OUT_JSON = os.environ.get("UWCV_Q_OUT", os.path.join(REPO, "QUALITY_r03.json"))
 OUT_DIR = os.environ.get("UWCV_Q_DIR", os.path.join(REPO, "output", "quality_r50"))
 RESUME = os.environ.get("UWCV_Q_RESUME") == "1"
 SCORE_THRESH_EVAL = float(os.environ.get("UWCV_Q_EVAL_THRESH", "0.05"))
+# e.g. "0.1,0.5,1.0,2.0" — the reference's zoo config hard-codes (0.5,1,2),
+# which cannot reach the ~10:1 scale-bar boxes (QUALITY_r03 class0 AP=0);
+# the rebuild makes it a knob
+ANCHOR_ARS = tuple(
+    float(x) for x in os.environ["UWCV_Q_ANCHOR_ARS"].split(",")
+) if os.environ.get("UWCV_Q_ANCHOR_ARS") else None
 
 T0 = time.time()
 
@@ -84,6 +90,8 @@ def main() -> int:
     cfg.input.max_gt_instances = 16       # synthetic images carry <= ~10
     cfg.output_dir = OUT_DIR
     cfg.data.classes_csv = os.path.join(ROOT, "classes.csv")
+    if ANCHOR_ARS:
+        cfg.model.anchor_aspect_ratios = ANCHOR_ARS
 
     # ---- train ----
     trainer = Trainer(cfg)
@@ -140,6 +148,7 @@ def main() -> int:
             "weights": "random init (no pretrained weights in this image)",
             "iters": steps_done, "batch": BATCH, "lr": LR,
             "freeze_at": 0,
+            "anchor_aspect_ratios": list(cfg.model.anchor_aspect_ratios),
             "train_images": len(train_dicts), "test_images": len(test_dicts),
             "image_size": 512, "train_input": list(cfg.input.train_size),
             "eval_score_thresh": SCORE_THRESH_EVAL,

@@ -69,8 +69,18 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
     if n <= _PALLAS_MAX_N and _pallas_available():
         from uwcv_tpu.ops.pallas.nms_kernel import nms_fixpoint_pallas
 
+        # pad to the 128-lane tile: Mosaic mis-handles sub-tile lane dims
+        # (small-N problems appear since RPN NMS went per-level — p5/p6
+        # candidate counts at small canvases are 12..192).  Padded entries
+        # are invalid zero-area boxes: IoU 0 against everything, no effect.
+        n_pad = max(128, -(-n // 128) * 128)
+        if n_pad != n:
+            boxes_sorted = jnp.pad(boxes_sorted, ((0, n_pad - n), (0, 0)))
+            valid_p = jnp.pad(valid, (0, n_pad - n))
+        else:
+            valid_p = valid
         keep_sorted = nms_fixpoint_pallas(
-            boxes_sorted, valid, float(iou_threshold))
+            boxes_sorted, valid_p, float(iou_threshold))[:n]
         keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
         return keep & (scores > NEG_INF / 2)
 
