@@ -34,11 +34,19 @@ from uwcv_tpu.structures.boxes import box_iou
 NEG_INF = -1e10
 
 # The Pallas VMEM-resident kernel handles N ≤ this cap (see
-# ops/pallas/nms_kernel.py); larger problems use the XLA fixpoint below.
+# ops/pallas/nms_kernel.py).  It is OPT-IN (UWCV_NMS_PALLAS=1): the greedy
+# kernel runs N sequential fori_loop steps of O(N) VPU work — latency-bound
+# at ~2.7 ms per problem regardless of size — while the fixpoint is
+# ~chain-depth (10-15) highly-parallel matvec iterations.  Measured in-graph
+# on a v5e chip (tools/nms_bench.py, 40 problems of N=1024 per batch):
+# fixpoint 3.4 ms vs kernel 109 ms, identical keep masks.  The r2 standalone
+# measurement (3.3-4.0 ms/call) was dispatch-floor-bound and hid this.
 _PALLAS_MAX_N = 1024
 
 
 def _pallas_available() -> bool:
+    """Generic TPU-kernel gate (also used by the RoIAlign kernel — a
+    measured 3.8× win that stays DEFAULT-ON, unlike the NMS kernel)."""
     import os
 
     if os.environ.get("UWCV_DISABLE_PALLAS"):
@@ -49,6 +57,12 @@ def _pallas_available() -> bool:
         return False
 
 
+def _nms_kernel_enabled() -> bool:
+    import os
+
+    return bool(os.environ.get("UWCV_NMS_PALLAS")) and _pallas_available()
+
+
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
              iou_threshold: float) -> jnp.ndarray:
     """Exact greedy NMS over padded boxes.
@@ -57,8 +71,9 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
     Returns keep [N] bool.  Greedy order = descending score, ties broken by
     lower index (matches torch stable sort).
 
-    Dispatches to the fused Pallas VMEM kernel on TPU for N ≤ 1024; the
-    XLA fixpoint below is the reference/fallback path (identical results).
+    Default path = the XLA fixpoint (fastest in-graph formulation measured,
+    see _PALLAS_MAX_N note); UWCV_NMS_PALLAS=1 opts into the sequential
+    Pallas greedy kernel for N ≤ 1024 (identical results).
     """
     n = boxes.shape[0]
     order = jnp.argsort(-scores, stable=True)
@@ -66,7 +81,7 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
     scores_sorted = scores[order]
     valid = scores_sorted > NEG_INF / 2
 
-    if n <= _PALLAS_MAX_N and _pallas_available():
+    if n <= _PALLAS_MAX_N and _nms_kernel_enabled():
         from uwcv_tpu.ops.pallas.nms_kernel import nms_fixpoint_pallas
 
         # pad to the 128-lane tile: Mosaic mis-handles sub-tile lane dims
