@@ -171,13 +171,27 @@ class Predictor:
                 translation=jnp.zeros((2,), jnp.float32),
                 method="bilinear", antialias=True)
 
-        resized = jax.vmap(resize_one)(images, scales)
         # mask out pad region (resample ringing beyond the true extent)
         yy = jnp.arange(self.pad_h)[None, :, None]
         xx = jnp.arange(self.pad_w)[None, None, :]
         inside = ((yy < out_sizes[:, 0][:, None, None])
                   & (xx < out_sizes[:, 1][:, None, None]))
-        resized = resized * inside[..., None]
+        if images.shape[:3] == (images.shape[0], self.pad_h, self.pad_w):
+            # Unit-scale fast path: with input.host_resize (the default) the
+            # host already resampled every image, so scale==1 for the whole
+            # batch in the common case and the antialiased bilinear resample
+            # below is an identity costing ~7 ms/batch-of-8 on chip
+            # (measured).  Branch at runtime on the traced scales — both
+            # sides compile once, only the taken side executes.
+            resized = jax.lax.cond(
+                jnp.all(scales == 1.0),
+                lambda im: im.astype(jnp.float32) * inside[..., None],
+                lambda im: (jax.vmap(resize_one)(im, scales)
+                            * inside[..., None]),
+                images)
+        else:
+            resized = (jax.vmap(resize_one)(images, scales)
+                       * inside[..., None])
 
         dets, mask_probs = self.model.apply(
             params, resized, method=MaskRCNN.inference)
