@@ -234,3 +234,43 @@ def test_faster_rcnn_box_only(tmp_path):
     jax.block_until_ready(metrics)
     assert "mask" not in metrics
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_unit_scale_fast_path_matches_resample(tmp_path):
+    """The predictor's lax.cond fast path (skip the antialiased resample when
+    every scale is exactly 1.0 — engine/predictor.py::_run) must agree with
+    the general resample branch: at scale 1 the bilinear antialias kernel is
+    an identity, so detections from the two branches are identical."""
+    from uwcv_tpu.config import Config
+    from uwcv_tpu.engine.predictor import Predictor
+    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
+
+    cfg = Config()
+    cfg.model.depth = 26
+    cfg.model.dtype = "float32"
+    cfg.model.rpn_pre_nms_topk_test = 64
+    cfg.model.rpn_post_nms_topk_test = 32
+    cfg.model.detections_per_image = 8
+    cfg.model.roi_score_thresh_test = 0.0
+    cfg.input.pad_size_test = (64, 64)
+    cfg.input.test_short_edge = 64
+    cfg.input.test_max_size = 64
+    params = init_params(MaskRCNN(cfg.model), jax.random.key(0),
+                         init_size=64)
+    pred = Predictor(cfg, params)
+
+    img = np.random.default_rng(3).integers(
+        0, 255, (64, 64, 2 + 1)).astype(np.uint8)
+    batch = jnp.asarray(img[None])
+    sizes = jnp.asarray([[64, 64]], jnp.int32)
+    # fast branch: all scales exactly 1 → pure cast
+    fast = pred._jit_run(batch, jnp.ones((1,), jnp.float32), sizes)
+    # general branch: a scale that is not exactly 1.0 but resamples to the
+    # same pixel grid within float error (nextafter(1))
+    eps_scale = jnp.full((1,), np.nextafter(np.float32(1.0), np.float32(2.0)),
+                         jnp.float32)
+    slow = pred._jit_run(batch, eps_scale, sizes)
+    np.testing.assert_allclose(np.asarray(fast[0].scores),
+                               np.asarray(slow[0].scores), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast[0].boxes),
+                               np.asarray(slow[0].boxes), atol=0.1)
