@@ -218,6 +218,21 @@ def _measure() -> None:
     # device once, timing covers ONLY the on-device pipeline.  This is the
     # per-chip capability a local-host deployment gets — the E2E number
     # above is link-bound on this tunnel-attached chip (PERF.md sink #1).
+    # Promote device-resident results into the headline INCREMENTALLY so a
+    # driver timeout mid-run (e.g. during the batch-32 compile below) still
+    # emits the per-chip number via the signal handler.
+    def promote_dr(ips: float, bsz: int) -> None:
+        RESULT["device_resident_ips"] = round(ips, 3)
+        RESULT["device_resident_vs_baseline"] = round(ips / baseline_ips, 2)
+        RESULT["device_resident_batch"] = bsz
+        if ips > RESULT["value"]:
+            if not RESULT["metric"].endswith("_device_resident"):
+                RESULT["e2e_ips"] = RESULT["value"]
+                RESULT["e2e_vs_baseline"] = RESULT["vs_baseline"]
+                RESULT["metric"] += "_device_resident"
+            RESULT["value"] = round(ips, 3)
+            RESULT["vs_baseline"] = round(ips / baseline_ips, 2)
+
     device_ops, _ = predictor.stage_batch(images)
     jax.block_until_ready(device_ops[0])
     out = predictor._jit_run(*device_ops)      # warm (already compiled)
@@ -230,10 +245,9 @@ def _measure() -> None:
         np.asarray(out[0].scores)              # one sync per window
         ips = n_batches * batch / (time.perf_counter() - t)
         log(f"device-resident window {rep}: {ips:.3f} img/s")
-        best_dr = max(best_dr, ips)
-    RESULT["device_resident_ips"] = round(best_dr, 3)
-    RESULT["device_resident_vs_baseline"] = round(best_dr / baseline_ips, 2)
-    RESULT["device_resident_batch"] = batch
+        if ips > best_dr:
+            best_dr = ips
+            promote_dr(best_dr, batch)
 
     # larger batch amortizes the fixed per-dispatch cost (~26 ms through
     # the tunnel) and fills the MXU better: measured 77 → 91 img/s going
@@ -259,10 +273,7 @@ def _measure() -> None:
             log(f"device-resident batch={big} window {rep}: {ips:.3f} img/s")
             if ips > best_dr:
                 best_dr = ips
-                RESULT["device_resident_ips"] = round(best_dr, 3)
-                RESULT["device_resident_vs_baseline"] = round(
-                    best_dr / baseline_ips, 2)
-                RESULT["device_resident_batch"] = big
+                promote_dr(best_dr, big)
         RESULT["status"] = "ok"
     # MFU from XLA's own cost model for the compiled pipeline (the lower +
     # compile hits the just-warmed persistent AOT cache, not a fresh build)
@@ -288,18 +299,13 @@ def _measure() -> None:
         f"({best_dr / baseline_ips:.1f}x baseline, "
         f"mfu={RESULT.get('mfu_pct', '?')}%)")
 
-    # Headline = the device-resident per-chip capability, which is a
-    # property of the FRAMEWORK; the E2E number stays as e2e_ips but it
-    # measures the axon tunnel + the bench host's CPU, both of which change
-    # under us between rounds (r2 host: 14-16 img/s; r3 re-ran on a 1-vCPU
-    # host: ~6 img/s with identical code — single-threaded host resize +
-    # a slower tunnel).  Both numbers are always emitted (VERDICT r2 #2).
-    if best_dr > RESULT["value"]:
-        RESULT["e2e_ips"] = RESULT["value"]
-        RESULT["e2e_vs_baseline"] = RESULT["vs_baseline"]
-        RESULT["metric"] += "_device_resident"
-        RESULT["value"] = round(best_dr, 3)
-        RESULT["vs_baseline"] = round(best_dr / baseline_ips, 2)
+    # Headline = the device-resident per-chip capability (promote_dr above),
+    # which is a property of the FRAMEWORK; the E2E number stays as e2e_ips
+    # but it measures the axon tunnel + the bench host's CPU, both of which
+    # change under us between rounds (r2 host: 14-16 img/s; r3 re-ran on a
+    # 1-vCPU host: ~6 img/s with identical code — single-threaded host
+    # resize + a slower tunnel).  Both numbers are always emitted
+    # (VERDICT r2 #2).
 
     if os.environ.get("UWCV_BENCH_TRAIN") == "1":
         _measure_train(cfg, RESULT, log)
