@@ -72,3 +72,50 @@ def test_subsample_jits():
     f = jax.jit(lambda l, k: subsample_labels(l, 16, 0.5, k))
     idx, is_pos = f(labels, jax.random.key(0))
     assert idx.shape == (16,)
+
+
+def test_subsample_weighted_prefers_heavy_candidates():
+    # 1 rare-class fg among 40 fg; uniform sampling picks it in ~8/16 draws
+    # in expectation is wrong — P(in sample of 8 of 40) = 0.2; with weight
+    # 50 the Gumbel-top-k draw should nearly always include it.
+    labels = jnp.asarray(np.array([1] * 40 + [0] * 100, np.int32))
+    weights = np.ones(140, np.float32)
+    weights[0] = 50.0
+    hits = 0
+    for s in range(30):
+        idx, is_pos = subsample_labels(
+            labels, 32, 0.25, jax.random.key(s),
+            fg_weights=jnp.asarray(weights))
+        sel = np.asarray(idx)[np.asarray(is_pos)]
+        assert len(sel) == 8
+        assert (np.asarray(labels)[sel] == 1).all()
+        hits += int(0 in sel)
+    assert hits >= 27  # ~50:1 odds per draw; uniform would give ~6/30
+
+
+def test_subsample_weighted_zero_weight_excluded():
+    labels = jnp.asarray(np.array([1] * 10 + [0] * 50, np.int32))
+    weights = np.ones(60, np.float32)
+    weights[3] = 0.0
+    for s in range(20):
+        idx, is_pos = subsample_labels(
+            labels, 16, 0.5, jax.random.key(s),
+            fg_weights=jnp.asarray(weights))
+        sel = np.asarray(idx)[np.asarray(is_pos)]
+        assert 3 not in sel
+        # the other 9 positives still all fit under the cap of 8? no: cap=8,
+        # 9 candidates — just check counts and labels
+        assert len(sel) == 8
+        assert (np.asarray(labels)[sel] == 1).all()
+
+
+def test_subsample_weighted_uniform_weights_match_counts():
+    # weights all equal == unweighted behavior statistically; counts exact
+    labels = jnp.asarray(np.array([1] * 4 + [0] * 60, np.int32))
+    idx, is_pos = subsample_labels(
+        labels, 32, 0.25, jax.random.key(0),
+        fg_weights=jnp.ones(64, jnp.float32))
+    assert int(np.asarray(is_pos).sum()) == 4
+    lab = np.asarray(labels)[np.asarray(idx)]
+    np.testing.assert_array_equal(lab[np.asarray(is_pos)], 1)
+    np.testing.assert_array_equal(lab[~np.asarray(is_pos)], 0)

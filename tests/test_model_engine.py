@@ -274,3 +274,61 @@ def test_unit_scale_fast_path_matches_resample(tmp_path):
                                np.asarray(slow[0].scores), atol=1e-4)
     np.testing.assert_allclose(np.asarray(fast[0].boxes),
                                np.asarray(slow[0].boxes), atol=0.1)
+
+
+def test_train_forward_class_rebalance_knobs(tiny_model_and_params):
+    """roi/rpn fg class weights + class loss weights: losses stay finite and
+    the weighted cls loss actually shifts vs uniform (same rng)."""
+    import dataclasses
+
+    from uwcv_tpu.models.rcnn import MaskRCNN
+
+    cfg, _, params = tiny_model_and_params
+    imgs = jnp.ones((1, 64, 64, 3), jnp.float32) * 100
+    n = 4
+    gt_boxes = jnp.asarray(
+        [[[8., 8., 40., 40.], [2., 28., 58., 34.],   # one thin 10:1 box
+          [0., 0., 0., 0.], [0., 0., 0., 0.]]])
+    gt_classes = jnp.asarray([[1, 0, 0, 0]], jnp.int32)
+    gt_masks = jnp.zeros((1, n, 64, 64), bool).at[:, 0, 10:38, 10:38].set(
+        True).at[:, 1, 28:34, 2:58].set(True)
+    gt_valid = jnp.ones((1, n), bool).at[0, 2:].set(False)
+
+    def run(mcfg):
+        model = MaskRCNN(mcfg)
+        return model.apply(params, imgs, gt_boxes, gt_classes, gt_masks,
+                           gt_valid, jax.random.key(0),
+                           method=MaskRCNN.forward_train)
+
+    base = run(cfg)
+    weighted = run(dataclasses.replace(
+        cfg,
+        roi_fg_class_weights=(8.0, 1.0, 1.0, 1.0),
+        rpn_fg_class_weights=(4.0, 1.0, 1.0, 1.0),
+        class_loss_weights=(4.0, 1.0, 1.0, 1.0)))
+    for k, v in weighted.items():
+        assert np.isfinite(float(v)) and float(v) >= 0, (k, v)
+    assert set(weighted) == set(base)
+    # class-0 (the rare thin box) carries weight 4 → cls loss must move
+    assert abs(float(weighted["cls"]) - float(base["cls"])) > 1e-6
+
+
+def test_trainable_mask_freeze_at_deep_stages(tiny_model_and_params):
+    from uwcv_tpu.engine.trainer import _trainable_mask
+
+    _, _, params = tiny_model_and_params
+    mask4 = _trainable_mask(params, freeze_at=4)
+    flat = jax.tree_util.tree_flatten_with_path(mask4)[0]
+    saw = {2: False, 3: False, 4: False, 5: False}
+    for path, trainable in flat:
+        joined = "/".join(str(getattr(p, "key", p)) for p in path)
+        for stage in (2, 3, 4):
+            if f"res{stage}_block" in joined:
+                assert not trainable, joined
+                saw[stage] = True
+        if "res5_block" in joined and "frozen_bn" not in joined:
+            assert trainable, joined
+            saw[5] = True
+    assert all(saw.values())
+    with pytest.raises(ValueError):
+        _trainable_mask(params, freeze_at=6)

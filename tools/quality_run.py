@@ -36,16 +36,28 @@ BATCH = int(os.environ.get("UWCV_Q_BATCH", "2"))
 N_TRAIN = int(os.environ.get("UWCV_Q_TRAIN", "64"))
 N_TEST = int(os.environ.get("UWCV_Q_TEST", "16"))
 ROOT = os.environ.get("UWCV_Q_ROOT", os.path.join(REPO, "DATASET_QUALITY"))
-OUT_JSON = os.environ.get("UWCV_Q_OUT", os.path.join(REPO, "QUALITY_r03.json"))
+OUT_JSON = os.environ.get("UWCV_Q_OUT", os.path.join(REPO, "QUALITY_r04.json"))
 OUT_DIR = os.environ.get("UWCV_Q_DIR", os.path.join(REPO, "output", "quality_r50"))
 RESUME = os.environ.get("UWCV_Q_RESUME") == "1"
 SCORE_THRESH_EVAL = float(os.environ.get("UWCV_Q_EVAL_THRESH", "0.05"))
+
+
+def _floats(env: str):
+    v = os.environ.get(env)
+    return tuple(float(x) for x in v.split(",")) if v else None
+
+
 # e.g. "0.1,0.5,1.0,2.0" — the reference's zoo config hard-codes (0.5,1,2),
 # which cannot reach the ~10:1 scale-bar boxes (QUALITY_r03 class0 AP=0);
 # the rebuild makes it a knob
-ANCHOR_ARS = tuple(
-    float(x) for x in os.environ["UWCV_Q_ANCHOR_ARS"].split(",")
-) if os.environ.get("UWCV_Q_ANCHOR_ARS") else None
+ANCHOR_ARS = _floats("UWCV_Q_ANCHOR_ARS")
+# HPO-loop closure (VERDICT r3 #3): HPO_r03.json's best roi_batch was 64
+ROI_BATCH = int(os.environ["UWCV_Q_ROI_BATCH"]) \
+    if os.environ.get("UWCV_Q_ROI_BATCH") else None
+# class-rebalance knobs (scale-bar fix, config.py roi_fg_class_weights etc.)
+ROI_CLS_W = _floats("UWCV_Q_ROI_CLS_W")
+RPN_CLS_W = _floats("UWCV_Q_RPN_CLS_W")
+LOSS_CLS_W = _floats("UWCV_Q_LOSS_CLS_W")
 
 T0 = time.time()
 
@@ -92,6 +104,14 @@ def main() -> int:
     cfg.data.classes_csv = os.path.join(ROOT, "classes.csv")
     if ANCHOR_ARS:
         cfg.model.anchor_aspect_ratios = ANCHOR_ARS
+    if ROI_BATCH:
+        cfg.model.roi_batch_size_per_image = ROI_BATCH
+    if ROI_CLS_W:
+        cfg.model.roi_fg_class_weights = ROI_CLS_W
+    if RPN_CLS_W:
+        cfg.model.rpn_fg_class_weights = RPN_CLS_W
+    if LOSS_CLS_W:
+        cfg.model.class_loss_weights = LOSS_CLS_W
 
     # ---- train ----
     trainer = Trainer(cfg)
@@ -148,6 +168,10 @@ def main() -> int:
             "weights": "random init (no pretrained weights in this image)",
             "iters": steps_done, "batch": BATCH, "lr": LR,
             "freeze_at": 0,
+            "roi_batch_size_per_image": cfg.model.roi_batch_size_per_image,
+            "roi_fg_class_weights": list(cfg.model.roi_fg_class_weights),
+            "rpn_fg_class_weights": list(cfg.model.rpn_fg_class_weights),
+            "class_loss_weights": list(cfg.model.class_loss_weights),
             "anchor_aspect_ratios": list(cfg.model.anchor_aspect_ratios),
             "train_images": len(train_dicts), "test_images": len(test_dicts),
             "image_size": 512, "train_input": list(cfg.input.train_size),

@@ -65,6 +65,23 @@ class ModelConfig:
     # sequential suppression depth without changing results.
     nms_candidates_test: int = 1024
     roi_bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    # --- class-rebalance knobs (rare-class fix; QUALITY.md scale-bar root
+    # cause).  The reference's uniform sampling + unweighted losses starve
+    # classes that appear as ~1 instance among ~8 (the scale bar trains to
+    # AP 0.0 — QUALITY_r03.json); these knobs are the framework-level fix.
+    # All default OFF (empty tuple = exact Detectron2 semantics).
+    # Per-class relative weights for the ROI-head foreground subsample
+    # (Gumbel-top-k weighted sampling without replacement, ops/matcher.py).
+    roi_fg_class_weights: Tuple[float, ...] = ()
+    # Same for the RPN positive-anchor subsample (anchors matched to a gt of
+    # class c draw with weight w[c]; class-agnostic objectness still,
+    # only the SAMPLING is rebalanced).
+    rpn_fg_class_weights: Tuple[float, ...] = ()
+    # Per-class weights for the box-head softmax CE (background fixed at
+    # 1.0), torch CrossEntropyLoss(weight=...) semantics: weighted mean =
+    # sum(w·ce)/sum(w).  Also scales the fg box-regression and mask BCE
+    # terms per-roi.
+    class_loss_weights: Tuple[float, ...] = ()
     # fused Pallas pooler kernel for inference (TPU only; the vmapped XLA
     # pooler is the fallback). Sharded (multi-chip mesh) predictors switch
     # this off: pallas_call has no SPMD partitioning rule, so XLA would

@@ -46,6 +46,11 @@ def _trainable_mask(params, freeze_frozen_bn: bool = True,
     backbone stages below ``freeze_at`` (stem=1, res2=2 — Detectron2
     BACKBONE.FREEZE_AT default)."""
 
+    if not 0 <= freeze_at <= 5:
+        raise ValueError(
+            f"freeze_at must be 0..5 (Detectron2 BACKBONE.FREEZE_AT: "
+            f"1=stem, 2..5=through res2..res5), got {freeze_at}")
+
     def decide(path) -> bool:
         keys = [getattr(p, "key", str(p)) for p in path]
         joined = "/".join(str(k) for k in keys)
@@ -53,8 +58,11 @@ def _trainable_mask(params, freeze_frozen_bn: bool = True,
             return False
         if freeze_at >= 1 and "/stem_" in "/" + joined:
             return False
-        if freeze_at >= 2 and "res2_block" in joined:
-            return False
+        # stages res2..res5 freeze through level freeze_at (models/resnet.py
+        # names blocks res{stage}_block{i})
+        for stage in (2, 3, 4, 5):
+            if freeze_at >= stage and f"res{stage}_block" in joined:
+                return False
         return True
 
     return jax.tree_util.tree_map_with_path(
@@ -118,8 +126,19 @@ class Trainer:
     def __init__(self, cfg: Config, model: Optional[MaskRCNN] = None,
                  mesh=None):
         self.cfg = cfg
-        self.model = model or MaskRCNN(cfg.model)
         self.mesh = mesh if mesh is not None else build_mesh(cfg.parallel)
+        if (model is None and self.mesh is not None
+                and self.mesh.devices.size > 1 and cfg.model.pooler_pallas):
+            # mirror the Predictor's multi-device guard (predictor.py:50-58):
+            # pallas_call has no SPMD partitioning rule, so a sharded train
+            # step through the fused pooler would either fail to lower or
+            # silently all-gather full FPN maps onto every chip.  The XLA
+            # pooler partitions cleanly; single-chip training keeps the
+            # kernel.
+            import dataclasses
+
+            cfg.model = dataclasses.replace(cfg.model, pooler_pallas=False)
+        self.model = model or MaskRCNN(cfg.model)
         self.tx = None
         self.state: Optional[TrainState] = None
         self._step_fn = None

@@ -243,7 +243,7 @@ def device_groups(n_parallel: int) -> List[list]:
 def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
                       max_iter: int = 100, n_parallel: Optional[int] = None,
                       seed: int = 0,
-                      eval_max_images: Optional[int] = 64) -> Dict[str, Any]:
+                      eval_max_images: Optional[int] = None) -> Dict[str, Any]:
     """Search LR / anchor scale / ROI batch (BASELINE config #5, README ToDo
     "DO OPTUNA OPTIMIZATION").
 
@@ -260,7 +260,9 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
     anchor sizes are the ONLY searched knob baked into the inference graph;
     lr/roi_batch are train-only — and later trials swap weights in with
     ``Predictor.set_params`` (no retrace).  ``eval_max_images`` caps the
-    objective's eval cost (default 64 images).
+    objective's eval cost (default None = the full split; callers opt into
+    truncation explicitly — a silent cap makes trial scores noisier with no
+    signature-level signal).
     """
     import os
     import queue
@@ -304,20 +306,37 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
     for gid in range(len(groups)):
         group_queue.put(gid)
 
-    # shared eval predictors: (gid, anchor_scale) → Predictor; guarded by a
-    # lock only around construction (each gid serves one trial at a time)
+    # shared eval predictors keyed by (gid, inference-relevant model config):
+    # train-only knobs (sampling batch sizes, matcher thresholds, class
+    # weights) never reach the inference graph, so trials differing only in
+    # those share one compiled predictor via set_params; any searched knob
+    # that DOES alter the graph (anchors, score thresholds, detections cap)
+    # changes the key automatically — no hand-picked field list to go stale.
+    _train_only = frozenset({
+        "roi_batch_size_per_image", "roi_positive_fraction",
+        "roi_fg_iou_thresh", "rpn_batch_size_per_image",
+        "rpn_positive_fraction", "rpn_fg_iou_thresh", "rpn_bg_iou_thresh",
+        "rpn_pre_nms_topk_train", "rpn_post_nms_topk_train",
+        "rpn_smooth_l1_beta", "roi_fg_class_weights",
+        "rpn_fg_class_weights", "class_loss_weights",
+    })
     predictor_cache: Dict[tuple, Any] = {}
     cache_lock = threading.Lock()
 
-    def _eval_predictor(gid: int, anchor_scale: float, tcfg, params):
+    def _eval_predictor(gid: int, tcfg, params):
+        import dataclasses as _dc
+        import json as _json
+
         from uwcv_tpu.engine.predictor import Predictor
 
-        key = (gid, float(anchor_scale))
+        ecfg = copy.deepcopy(tcfg)
+        ecfg.model.roi_score_thresh_test = 0.05
+        key = (gid, _json.dumps(
+            {k: v for k, v in sorted(_dc.asdict(ecfg.model).items())
+             if k not in _train_only}, default=str))
         with cache_lock:
             pred = predictor_cache.get(key)
         if pred is None:
-            ecfg = copy.deepcopy(tcfg)
-            ecfg.model.roi_score_thresh_test = 0.05
             pred = Predictor(ecfg, params)
             with cache_lock:
                 predictor_cache[key] = pred
@@ -372,7 +391,12 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
                 from uwcv_tpu.eval.coco_eval import evaluate_split
 
                 params = jax.device_put(state.params, groups[gid][0])
-                pred = _eval_predictor(gid, anchor_scale, tcfg, params)
+                pred = _eval_predictor(gid, tcfg, params)
+                if eval_max_images is not None \
+                        and eval_max_images < len(eval_dicts):
+                    print(f"[hpo] trial {trial.number}: eval capped at "
+                          f"{eval_max_images}/{len(eval_dicts)} images",
+                          flush=True)
                 res = evaluate_split(tcfg, eval_dicts, predictor=pred,
                                      max_images=eval_max_images)
                 v = res["segm"]["AP"]

@@ -187,9 +187,17 @@ class MaskRCNN(nn.Module):
             m = match_boxes(anchors_cat, boxes_i, valid_i,
                             c.rpn_fg_iou_thresh, c.rpn_bg_iou_thresh,
                             allow_low_quality=True)
+            rpn_w = None
+            if c.rpn_fg_class_weights:
+                # rebalance the positive-anchor draw toward rare classes
+                # (matched_idx is only consulted where labels==1, so the
+                # garbage class at unmatched rows is harmless)
+                wtab = jnp.asarray(c.rpn_fg_class_weights, jnp.float32)
+                rpn_w = wtab[jnp.clip(classes_i[m.matched_idx], 0,
+                                      c.num_classes - 1)]
             idx, is_pos = subsample_labels(
                 m.labels, c.rpn_batch_size_per_image, c.rpn_positive_fraction,
-                rpn_key)
+                rpn_key, fg_weights=rpn_w)
             sampled_obj = obj_i[idx]
             sampled_lbl = is_pos.astype(jnp.float32)
             rpn_cls = optax_sigmoid_ce(sampled_obj, sampled_lbl).mean()
@@ -209,9 +217,14 @@ class MaskRCNN(nn.Module):
             mm = match_boxes(cand_boxes, boxes_i, valid_i,
                              c.roi_fg_iou_thresh, c.roi_fg_iou_thresh)
             cand_labels = jnp.where(cand_valid, mm.labels, -1)
+            roi_w = None
+            if c.roi_fg_class_weights:
+                wtab = jnp.asarray(c.roi_fg_class_weights, jnp.float32)
+                roi_w = wtab[jnp.clip(classes_i[mm.matched_idx], 0,
+                                      c.num_classes - 1)]
             sidx, s_pos = subsample_labels(
                 cand_labels, c.roi_batch_size_per_image,
-                c.roi_positive_fraction, roi_key)
+                c.roi_positive_fraction, roi_key, fg_weights=roi_w)
             roi_boxes = cand_boxes[sidx]
             roi_gt_idx = mm.matched_idx[sidx]
             roi_gt_boxes = boxes_i[roi_gt_idx]
@@ -250,7 +263,17 @@ class MaskRCNN(nn.Module):
         logits, box_deltas = self.box_head(
             pooled.reshape((n,) + pooled.shape[2:]))
 
-        cls_loss = softmax_ce(logits, tgt).mean()
+        if c.class_loss_weights:
+            # per-roi weight by target class, background weight 1.0; torch
+            # CrossEntropyLoss(weight=w) semantics: sum(w·ce)/sum(w)
+            cw = jnp.asarray(tuple(c.class_loss_weights) + (1.0,),
+                             jnp.float32)
+            roi_w = cw[tgt]
+            cls_loss = (softmax_ce(logits, tgt) * roi_w).sum() \
+                / jnp.maximum(roi_w.sum(), 1.0)
+        else:
+            roi_w = jnp.ones((n,), jnp.float32)
+            cls_loss = softmax_ce(logits, tgt).mean()
 
         fg_onehot = jax.nn.one_hot(
             jnp.clip(tgt, 0, c.num_classes - 1),
@@ -258,7 +281,7 @@ class MaskRCNN(nn.Module):
         per_roi_deltas = jnp.einsum("rcd,rc->rd", box_deltas, fg_onehot)
         box_loss = (jnp.abs(per_roi_deltas
                             - sampled["reg_targets"].reshape(n, 4)).sum(-1)
-                    * fg).sum() / jnp.maximum(n, 1)
+                    * fg * roi_w).sum() / jnp.maximum(n, 1)
 
         losses = {"rpn_cls": sampled["rpn_cls"].mean(),
                   "rpn_loc": sampled["rpn_loc"].mean(),
@@ -280,9 +303,10 @@ class MaskRCNN(nn.Module):
             mask_ce = optax_sigmoid_ce(per_class,
                                        (gt_roi > 0.5).astype(jnp.float32))
             # Detectron2's mask_rcnn_loss: mean over ALL fg rois in the
-            # batch jointly (not per-image means averaged)
-            losses["mask"] = (mask_ce.mean(axis=(1, 2)) * fg).sum() / \
-                jnp.maximum(fg.sum(), 1.0)
+            # batch jointly (not per-image means averaged); with
+            # class_loss_weights the mean is weighted per-roi by target class
+            losses["mask"] = (mask_ce.mean(axis=(1, 2)) * fg * roi_w).sum() \
+                / jnp.maximum((fg * roi_w).sum(), 1.0)
         return losses
 
 

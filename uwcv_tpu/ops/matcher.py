@@ -76,6 +76,7 @@ def subsample_labels(
     num_samples: int,
     positive_fraction: float,
     key: jax.Array,
+    fg_weights: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Randomly pick a fixed-size balanced sample (Detectron2
     subsample_labels) without dynamic shapes.
@@ -86,6 +87,16 @@ def subsample_labels(
     positives/negatives than requested, the other kind fills in; rows beyond
     all available labeled entries fall back to background slots (index may
     repeat — harmless for loss averaging, standard padded-sample trick).
+
+    ``fg_weights`` [N] (optional): relative sampling weight per candidate for
+    the POSITIVE draw — weighted sampling *without replacement* via
+    Gumbel-top-k (Efraimidis–Spirakis): priority = log(w) + Gumbel noise, so
+    a candidate with weight w is w× as likely as a weight-1 peer at every
+    draw.  Weight 0 (or negative) excludes the candidate.  This is the
+    class-rebalance hook for rare classes that uniform sampling starves —
+    the reference's uniform sampler visits the lone scale-bar ROI in only
+    ~6% of image visits (QUALITY.md root-cause #2), which is why that class
+    trains to AP 0.  None = uniform (exact Detectron2 behavior).
     """
     n = labels.shape[0]
     k_pos, k_neg = jax.random.split(key)
@@ -95,7 +106,14 @@ def subsample_labels(
     is_bg = labels == 0
 
     # random priorities; invalid candidates get -inf
-    pos_prio = jnp.where(is_fg, jax.random.uniform(k_pos, (n,)), -jnp.inf)
+    if fg_weights is None:
+        pos_prio = jnp.where(is_fg, jax.random.uniform(k_pos, (n,)), -jnp.inf)
+    else:
+        u = jax.random.uniform(k_pos, (n,), minval=1e-20, maxval=1.0)
+        gumbel = -jnp.log(-jnp.log(u))
+        logw = jnp.log(jnp.maximum(fg_weights.astype(jnp.float32), 1e-20))
+        pos_prio = jnp.where(is_fg & (fg_weights > 0), logw + gumbel,
+                             -jnp.inf)
     neg_prio = jnp.where(is_bg, jax.random.uniform(k_neg, (n,)), -jnp.inf)
 
     pos_vals, pos_idx = jax.lax.top_k(pos_prio, min(max_pos, n))
