@@ -135,3 +135,44 @@ def test_prepare_train_sample_and_loader(tmp_path):
     assert batch["image"].shape == (2, 64, 64, 3)
     assert batch["boxes"].shape == (2, 16, 4)
     assert batch["image"].dtype == np.uint8
+
+
+def test_rotation_prob_controls_orientation_mix():
+    """rotation_prob: 0 → never rotates, 1 → always (reference parity),
+    0.5 → both orientations occur (the scale-bar fix, config.py
+    rotation_prob)."""
+    import dataclasses
+
+    import jax
+
+    from uwcv_tpu.config import InputConfig
+    from uwcv_tpu.data.augment import augment_sample
+
+    size = 32
+    img = np.zeros((size, size, 3), np.float32)
+    img[2:6, 4:28] = 255.0          # horizontal bar
+    sample = {
+        "image": jnp.asarray(img),
+        "boxes": jnp.asarray([[4.0, 2.0, 28.0, 6.0]]),
+        "classes": jnp.asarray([0]),
+        "valid": jnp.asarray([True]),
+    }
+    base = InputConfig(brightness_range=(1.0, 1.0),
+                       contrast_range=(1.0, 1.0),
+                       saturation_range=(1.0, 1.0), lighting_scale=0.0,
+                       vflip_prob=0.0)
+
+    def is_rotated(out):
+        b = np.asarray(out["boxes"][0])
+        return (b[3] - b[1]) > (b[2] - b[0])   # taller than wide
+
+    rot = [is_rotated(augment_sample(
+        sample, jax.random.key(s),
+        dataclasses.replace(base, rotation_prob=0.5))) for s in range(16)]
+    assert any(rot) and not all(rot)
+    assert not is_rotated(augment_sample(
+        sample, jax.random.key(0),
+        dataclasses.replace(base, rotation_prob=0.0)))
+    assert is_rotated(augment_sample(
+        sample, jax.random.key(0),
+        dataclasses.replace(base, rotation_prob=1.0)))

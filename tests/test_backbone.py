@@ -47,3 +47,28 @@ def test_resnet101_param_count_vs_50():
     assert 22e6 < n50 < 26e6, n50
     assert 40e6 < n101 < 46e6, n101
     assert STAGE_BLOCKS[101][2] == 23
+
+
+def test_stem_im2col_matches_conv():
+    """StemConv's im2col+matmul re-expression is numerically the conv it
+    replaces (same f32-accumulated products; PERF.md sink #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uwcv_tpu.models.resnet import StemConv
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)), jnp.float32)
+    m_conv = StemConv(dtype=jnp.float32, im2col=False)
+    m_i2c = StemConv(dtype=jnp.float32, im2col=True)
+    params = m_conv.init(jax.random.key(0), x)
+    want = m_conv.apply(params, x)
+    got = m_i2c.apply(params, x)
+    assert got.shape == want.shape == (2, 32, 48, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # odd input sizes hit the same output-shape formula as the conv
+    x_odd = jnp.asarray(rng.normal(size=(1, 37, 51, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(m_i2c.apply(params, x_odd)),
+        np.asarray(m_conv.apply(params, x_odd)), rtol=1e-5, atol=1e-5)

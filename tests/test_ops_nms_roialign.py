@@ -226,3 +226,41 @@ def test_image_wide_roi_full_coverage():
     # ramp values span [0, ~3400]; demand <0.5% of the dynamic range
     np.testing.assert_allclose(out[0], want0, atol=15.0)
     np.testing.assert_allclose(out[1], want1, atol=15.0)
+
+
+def test_multilevel_windowed_window28_matches_oracle():
+    """window=28 (the DMA-narrowed production setting, config
+    model.pooler_window): in-window rois stay exact, and the elongated /
+    oversized rois still get full coverage via the earlier coarse-level
+    bump."""
+    rng = np.random.default_rng(4)
+    feats = {f"p{l}": jnp.asarray(
+        rng.normal(size=(256 >> (l - 2), 256 >> (l - 2), 8)), jnp.float32)
+        for l in range(2, 6)}
+    strides = {f"p{l}": 2 ** l for l in range(2, 6)}
+    rois = jnp.array([[40, 40, 152, 152],      # 112 → p3, span 14 cells
+                      [100, 60, 324, 284]],     # 224 → p4, span 14 cells
+                     jnp.float32)
+    got = np.asarray(multilevel_roi_align(feats, rois, strides, 7,
+                                          window=28))
+    want_p3 = np.asarray(roi_align_level(feats["p3"], rois[:1], 8, 7))
+    want_p4 = np.asarray(roi_align_level(feats["p4"], rois[1:], 16, 7))
+    np.testing.assert_allclose(got[0], want_p3[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[1], want_p4[0], rtol=1e-4, atol=1e-4)
+
+    # scale-bar coverage at window 28 (ramp oracle, like
+    # test_image_wide_roi_full_coverage)
+    h_img, w_img = 1024, 1344
+    rfeats = _ramp_feats(h_img, w_img)
+    rois2 = jnp.array([
+        [20.0, 500.0, 1320.0, 512.0],
+        [10.0, 10.0, 1334.0, 1014.0],
+    ], jnp.float32)
+    out = np.asarray(multilevel_roi_align(rfeats, rois2, strides, 7,
+                                          window=28))
+    f3 = np.asarray(rfeats["p3"])
+    f5 = np.asarray(rfeats["p5"])
+    want0 = roi_align_oracle(f3, np.asarray(rois2[0]), 8, 7)
+    want1 = roi_align_oracle(f5, np.asarray(rois2[1]), 32, 7)
+    np.testing.assert_allclose(out[0], want0, atol=15.0)
+    np.testing.assert_allclose(out[1], want1, atol=15.0)

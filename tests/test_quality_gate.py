@@ -106,6 +106,8 @@ def test_train_produces_detections(tmp_path):
 
     # real thresholds, not >= 0: an untrained/broken model scores ~0.00 at
     # both eval points; the calibration curve (docstring) measured
-    # best bbox 0.125 / segm 0.171 — asserted ~2.4× below
-    assert best["bbox"] >= 0.05, best
-    assert best["segm"] >= 0.07, best
+    # best bbox 0.125 / segm 0.171 — asserted ~1.4× below (VERDICT r3 weak
+    # #4 tightened the original 2.4× margin: these now catch
+    # regression-to-mediocre, not just regression-to-noise)
+    assert best["bbox"] >= 0.09, best
+    assert best["segm"] >= 0.12, best

@@ -89,6 +89,19 @@ class ModelConfig:
     pooler_pallas: bool = True
     pooler_resolution_box: int = 7
     pooler_resolution_mask: int = 14
+    # RoIAlign window (cells) cut around each roi on its assigned FPN level
+    # (ops/roi_align.py).  Eq.-1 level assignment keeps sqrt(area)/stride in
+    # [14,28); rois whose max EXTENT exceeds (window-2) cells bump to a
+    # coarser level (slight blur).  28 saves ~20% pooler DMA traffic vs the
+    # original 32 (the pooler is DMA-bandwidth-bound, PERF.md) at the cost
+    # of bumping elongated rois with extent in (26,30] cells one level
+    # earlier.  NOTE: the oversized-roi ceiling is (window-2)*64 px — keep
+    # test_max_size below it (see input.test_max_size).
+    pooler_window: int = 32
+    # compute the 7×7/2 stem conv as explicit im2col + one [147,64] matmul
+    # (models/resnet.py StemConv): ~3× faster than the thin-channel spatial
+    # conv on TPU; exact (same f32-accumulated products)
+    stem_im2col: bool = True
     mask_head_resolution: int = 28        # deconv output
     # canonical FPN level assignment (FPN paper eq. 1)
     canonical_box_size: float = 224.0
@@ -135,6 +148,15 @@ class InputConfig:
     contrast_range: Tuple[float, float] = (0.6, 1.3)
     saturation_range: Tuple[float, float] = (0.8, 1.4)
     rotation_angles: Tuple[float, ...] = (90.0,)   # RandomRotation(angle=[90,90])
+    # probability of applying the 90° rotation.  The reference's
+    # RandomRotation(angle=[90,90]) fires on EVERY sample (nn_train.py:139),
+    # which erases one orientation from the training distribution entirely —
+    # a horizontal 20:1 scale bar then never exists at train time and its
+    # class cannot score at test time (QUALITY.md; tools/scalebar_diag.py
+    # measured the trained RPN ranking the bar anchor ~200k/256k).  0.5
+    # keeps the augmentation's diversity AND both orientations; set 1.0 for
+    # exact reference behavior.
+    rotation_prob: float = 0.5
     lighting_scale: float = 0.7
     vflip_prob: float = 0.4                        # RandomFlip(prob=0.4, vertical)
     # per-image padded ground-truth capacity (static shape)
@@ -225,6 +247,19 @@ class ParallelConfig:
     model_axis: str = "model"
     # (data, model) mesh shape; -1 = all available devices on the data axis
     mesh_shape: Tuple[int, int] = (-1, 1)
+    # --- multi-host (DCN) scaffolding (SURVEY §2c comm-backend row) ---
+    # True: call jax.distributed.initialize() before device queries, so
+    # jax.devices() returns the GLOBAL device set of a pod slice and the mesh
+    # spans hosts (collectives ride ICI within a slice, DCN across);
+    # per-process input sharding comes from TrainLoader(process_index/count)
+    # + parallel.mesh.shard_batch, which assembles global arrays from
+    # process-local shards.
+    multi_host: bool = False
+    # "host:port" of process 0's coordinator; "" = infer from the cluster
+    # environment (TPU pods auto-detect; explicit for CPU/localhost tests)
+    coordinator_address: str = ""
+    num_processes: int = 1
+    process_id: int = -1          # -1: from JAX_PROCESS_ID env (or cluster)
 
 
 @dataclass

@@ -118,18 +118,27 @@ def augment_sample(
     size = img.shape[0]
     assert img.shape[0] == img.shape[1], "rot90 augment requires square images"
 
-    kb, kc, ks, kl, kf = jax.random.split(key, 5)
+    kb, kc, ks, kl, kf, kr = jax.random.split(key, 6)
 
     img = random_brightness(img, kb, *cfg.brightness_range)
     img = random_contrast(img, kc, *cfg.contrast_range)
     img = random_saturation(img, ks, *cfg.saturation_range)
 
-    # RandomRotation(angle=[90,90]) — deterministic 90° every sample.
+    # RandomRotation(angle=[90,90]) — the reference rotates EVERY sample 90°
+    # (Detectron2 samples uniformly from [90,90]; nn_train.py:139), so its
+    # training distribution contains ONLY the rotated orientation: a
+    # horizontal test-time scale bar literally never occurs in training, and
+    # the RPN objectness/regression for thin-horizontal anchors trains as
+    # pure background (measured: the bar's best anchor ranks ~200k/256k in
+    # objectness after fine-tune — tools/scalebar_diag.py).  ``rotation_prob``
+    # < 1 restores both orientations; 1.0 reproduces the reference exactly.
     if tuple(cfg.rotation_angles) == (90.0,):
-        img = rot90_image(img)
-        boxes = rot90_boxes(boxes, size)
+        do_rot = jax.random.uniform(kr, ()) < cfg.rotation_prob
+        img = jnp.where(do_rot, rot90_image(img), img)
+        boxes = jnp.where(do_rot, rot90_boxes(boxes, size), boxes)
         if masks is not None:
-            masks = jnp.rot90(masks, k=1, axes=(1, 2))
+            masks = jnp.where(do_rot, jnp.rot90(masks, k=1, axes=(1, 2)),
+                              masks)
 
     img = random_lighting(img, kl, cfg.lighting_scale)
 

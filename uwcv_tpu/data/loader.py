@@ -135,12 +135,31 @@ class TrainLoader:
     """
 
     def __init__(self, dataset: List[Dict], cfg: Config, seed: int = 0,
-                 num_workers: Optional[int] = None):
+                 num_workers: Optional[int] = None,
+                 process_index: int = 0, process_count: int = 1):
+        """``process_index``/``process_count``: multi-host input sharding
+        (SURVEY §2c).  Every process seeds the same rng, draws the same
+        global permutation, and takes the disjoint slice
+        ``order[process_index::process_count]`` — so the union of all
+        processes' streams is exactly one pass over the data per epoch, with
+        no coordination traffic.  ``cfg.solver.ims_per_batch`` stays the
+        GLOBAL batch; each process yields its ims_per_batch/process_count
+        local slice (parallel/mesh.py shard_batch assembles the global
+        array).  Defaults = single-process, unchanged behavior."""
         if not dataset:
             raise ValueError("empty dataset")
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} not in "
+                             f"[0, {process_count})")
+        if process_count > 1 and cfg.solver.ims_per_batch % process_count:
+            raise ValueError(
+                f"global batch {cfg.solver.ims_per_batch} must divide by "
+                f"process_count {process_count}")
         self.dataset = dataset
         self.cfg = cfg
-        self.batch_size = cfg.solver.ims_per_batch
+        self.batch_size = cfg.solver.ims_per_batch // process_count
+        self.process_index = process_index
+        self.process_count = process_count
         # floor the EXPLICIT argument too: zero workers would deadlock
         # __iter__ on an empty queue with no error
         self.num_workers = max(1, num_workers if num_workers is not None
@@ -153,7 +172,7 @@ class TrainLoader:
     def _index_stream(self) -> Iterator[int]:
         while True:
             order = self.rng.permutation(len(self.dataset))
-            for idx in order:
+            for idx in order[self.process_index::self.process_count]:
                 yield int(idx)
 
     def start(self) -> "TrainLoader":

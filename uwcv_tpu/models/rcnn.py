@@ -63,7 +63,8 @@ class MaskRCNN(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
-        self.backbone = ResNet(depth=c.depth, dtype=dtype)
+        self.backbone = ResNet(depth=c.depth, dtype=dtype,
+                               stem_im2col=c.stem_im2col)
         self.fpn = FPN(channels=c.fpn_channels, dtype=dtype)
         self.rpn_head = RPNHead(num_anchors=c.num_anchors_per_cell,
                                 channels=c.fpn_channels, dtype=dtype)
@@ -107,6 +108,7 @@ class MaskRCNN(nn.Module):
             feats_per_img, proposals.boxes, STRIDES,
             self.cfg.pooler_resolution_box,
             self.cfg.canonical_box_size, self.cfg.canonical_level,
+            window=self.cfg.pooler_window,
             use_pallas=self.cfg.pooler_pallas)
         k = pooled.shape[1]
         logits, box_deltas = self.box_head(
@@ -127,6 +129,7 @@ class MaskRCNN(nn.Module):
                 feats_per_img, dets.boxes, STRIDES,
                 self.cfg.pooler_resolution_mask,
                 self.cfg.canonical_box_size, self.cfg.canonical_level,
+                window=self.cfg.pooler_window,
                 use_pallas=self.cfg.pooler_pallas)
             d = pooled_m.shape[1]
             mlogits = self.mask_head(
@@ -259,7 +262,7 @@ class MaskRCNN(nn.Module):
         pooled = multilevel_roi_align_batched(
             feats_b, roi_boxes, STRIDES, c.pooler_resolution_box,
             c.canonical_box_size, c.canonical_level,
-            use_pallas=c.pooler_pallas)
+            window=c.pooler_window, use_pallas=c.pooler_pallas)
         logits, box_deltas = self.box_head(
             pooled.reshape((n,) + pooled.shape[2:]))
 
@@ -291,7 +294,7 @@ class MaskRCNN(nn.Module):
             mpooled = multilevel_roi_align_batched(
                 feats_b, roi_boxes, STRIDES, c.pooler_resolution_mask,
                 c.canonical_box_size, c.canonical_level,
-                use_pallas=c.pooler_pallas)
+                window=c.pooler_window, use_pallas=c.pooler_pallas)
             mlogits = self.mask_head(
                 mpooled.reshape((n,) + mpooled.shape[2:]))   # [B·R,28,28,C]
             sel = jax.nn.one_hot(

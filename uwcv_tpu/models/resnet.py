@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # 26 is a minimal 1-block-per-stage variant for tests/smoke runs; 50/101 are
@@ -52,6 +53,53 @@ class FrozenBN(nn.Module):
         bias = self.param("frozen_bn_bias", nn.initializers.zeros, (c,),
                           jnp.float32)
         return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class StemConv(nn.Module):
+    """The 7×7/2 stem conv, computed as explicit im2col + ONE [147,64]
+    matmul when ``im2col`` is set.
+
+    Why: as a spatial conv the contraction dim is C_in=3 — the MXU runs at
+    ~3% utilization and the stem costs 35% of backbone wall time for 1.2%
+    of its FLOPs (PERF.md sink #3; the MLPerf space-to-depth re-expression
+    measured SLOWER on this XLA/libtpu).  im2col re-expresses it with
+    K=7·7·3=147: 49 strided slices concatenate into [B·H/2·W/2, 147]
+    patches (pure relayout traffic, ~100 MB/img) and one dense matmul tiles
+    the MXU properly.  Bit-comparable: same f32 accumulation of the same
+    147 products, only the summation order differs.
+
+    Param tree is identical to the ``nn.Conv`` it replaces
+    (``stem_conv/kernel`` [7,7,3,64] f32) so checkpoints and the torch
+    importer (engine/checkpoint.py) are unaffected.
+    """
+
+    dtype: Any = jnp.bfloat16
+    im2col: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, 64), jnp.float32)
+        k = kernel.astype(self.dtype)
+        if not self.im2col:
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h, w, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        ho, wo = (h + 1) // 2, (w + 1) // 2
+        cols = [
+            jax.lax.slice(xp, (0, dy, dx, 0),
+                          (b, dy + 2 * (ho - 1) + 1, dx + 2 * (wo - 1) + 1,
+                           c), (1, 2, 2, 1))
+            for dy in range(7) for dx in range(7)
+        ]
+        patches = jnp.concatenate(cols, axis=-1)      # [B,Ho,Wo,49*C]
+        y = jax.lax.dot_general(
+            patches.reshape(b * ho * wo, 49 * c), k.reshape(49 * c, 64),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y.astype(self.dtype).reshape(b, ho, wo, 64)
 
 
 class Bottleneck(nn.Module):
@@ -96,15 +144,17 @@ class ResNet(nn.Module):
 
     depth: int = 50
     dtype: Any = jnp.bfloat16
+    stem_im2col: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         blocks = STAGE_BLOCKS[self.depth]
         x = x.astype(self.dtype)
 
-        # stem: 7x7/2 conv + 3x3/2 maxpool → /4
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(x)
+        # stem: 7x7/2 conv + 3x3/2 maxpool → /4 (im2col re-expression —
+        # see StemConv; param tree identical to the nn.Conv original)
+        x = StemConv(dtype=self.dtype, im2col=self.stem_im2col,
+                     name="stem_conv")(x)
         x = FrozenBN(self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

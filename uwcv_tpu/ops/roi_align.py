@@ -289,11 +289,12 @@ def _window_geometry(rois, shapes, strides_vals, output_size,
     contraction and removing the [R,S,S,C] samples tensor entirely.
 
     ``x_align > 1`` snaps the x origin DOWN to that multiple and widens the
-    x window by x_align (window_x = window + x_align): TPU DMA slices in
-    the sublane-tiled W dimension must start on a tile boundary (Mosaic
-    "tile index divisible by 8"), so the Pallas kernel path uses
-    x_align=8.  The caller's canvas must carry x_align extra padded
-    columns.
+    x window to ``_aligned_window_x(window, x_align)``: TPU DMA slices in
+    the sublane-tiled W dimension must start on a tile boundary AND span a
+    multiple of the 8-sublane tile (Mosaic "slice shape must be aligned to
+    tiling (8)"), so the Pallas kernel path uses x_align=8 and rounds the
+    width up.  The caller's canvas must carry ``window_x - window`` extra
+    padded columns.
     """
     levels = fpn_level_assignment(
         rois, 2, 5, canonical_size, canonical_level)         # [R] in 2..5
@@ -327,7 +328,7 @@ def _window_geometry(rois, shapes, strides_vals, output_size,
     window_x = window
     if x_align > 1:
         x0 = jnp.floor(x0 / x_align) * x_align
-        window_x = window + x_align
+        window_x = _aligned_window_x(window, x_align)
     xs_rel = jnp.clip(xs - x0[:, None], 0.0, window_x - 1.0)  # [R,S]
     ys_rel = jnp.clip(ys - y0[:, None], 0.0, window - 1.0)
 
@@ -339,6 +340,14 @@ def _window_geometry(rois, shapes, strides_vals, output_size,
     wy = wy.reshape(r, p, spb, window).mean(axis=2)           # [R,P,win]
     wx = wx.reshape(r, p, spb, window_x).mean(axis=2)
     return li, y0.astype(jnp.int32), x0.astype(jnp.int32), wy, wx
+
+
+def _aligned_window_x(window: int, x_align: int) -> int:
+    """Width of the x window after origin snapping: must cover
+    window + (x_align-1) misalignment AND be a multiple of the 8-sublane
+    DMA tile (Mosaic rejects unaligned slice spans in the W dim)."""
+    need = window + x_align - 1
+    return -(-need // 8) * 8
 
 
 def _pool_windows_xla(canvas, slab, y0, x0, wy, wx, window: int,
@@ -455,11 +464,13 @@ def multilevel_roi_align_batched(
     c = features["p2"].shape[-1]
     shapes = _level_shapes([features[n].shape[1:] for n in _LEVEL_NAMES])
 
-    # +x_align columns: the 8-aligned x origins can push the window up to
-    # x_align past the widest level's extent
+    # extra columns: the 8-aligned x origins can push the (tile-rounded)
+    # window past the widest level's extent
     x_align = 8
+    window_x = _aligned_window_x(window, x_align)
     canvas = jax.vmap(
-        partial(_level_canvas, window=window, extra_w=x_align))(features)
+        partial(_level_canvas, window=window,
+                extra_w=window_x - window))(features)
     canvas = canvas.reshape((b * 5,) + canvas.shape[2:])
 
     strides_vals = _level_strides(strides)
@@ -470,8 +481,8 @@ def multilevel_roi_align_batched(
     slab = (jnp.arange(b, dtype=jnp.int32)[:, None] * 5 + li).reshape(-1)
     p = output_size
     pooled = pool_windows(
-        window, window + x_align, use_kernel, interpret,
+        window, window_x, use_kernel, interpret,
         canvas, slab, y0.reshape(-1), x0.reshape(-1),
         wy.reshape(b * r, p, window),
-        wx.reshape(b * r, p, window + x_align))
+        wx.reshape(b * r, p, window_x))
     return pooled.reshape(b, r, p, p, c)

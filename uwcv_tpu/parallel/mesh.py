@@ -23,9 +23,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from uwcv_tpu.config import ParallelConfig
 
 
+def initialize_multi_host(cfg: Optional[ParallelConfig] = None) -> bool:
+    """``jax.distributed.initialize`` wiring (SURVEY §2c comm backend).
+
+    Call BEFORE any device query when ``cfg.multi_host`` is set; afterwards
+    ``jax.devices()`` returns the global device set, so ``build_mesh``
+    spans hosts and XLA routes collectives over ICI within a slice / DCN
+    across slices.  Idempotent: a second call (or an already-initialized
+    runtime) is a no-op.  Returns True when running multi-process.
+    """
+    cfg = cfg or ParallelConfig()
+    if not cfg.multi_host:
+        return jax.process_count() > 1
+    import os
+
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+    pid = cfg.process_id if cfg.process_id >= 0 else int(
+        os.environ.get("JAX_PROCESS_ID", "0"))
+    kwargs = {}
+    if cfg.coordinator_address:
+        kwargs["coordinator_address"] = cfg.coordinator_address
+    if cfg.num_processes > 1:
+        kwargs["num_processes"] = cfg.num_processes
+        kwargs["process_id"] = pid
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count() > 1
+
+
 def build_mesh(cfg: Optional[ParallelConfig] = None,
                devices: Optional[Sequence] = None) -> Mesh:
     cfg = cfg or ParallelConfig()
+    if devices is None and cfg.multi_host:
+        initialize_multi_host(cfg)
     devices = list(devices if devices is not None else jax.devices())
     d, m = cfg.mesh_shape
     if d == -1:
@@ -59,13 +89,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _mesh_is_multi_process(mesh: Mesh) -> bool:
+    return jax.process_count() > 1 and any(
+        d.process_index != jax.process_index()
+        for d in mesh.devices.flat)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Place a host pytree batch onto the mesh, batch-axis sharded."""
+    """Place a host pytree batch onto the mesh, batch-axis sharded.
+
+    Single-process: plain ``device_put``.  Multi-host mesh: each process
+    passes its LOCAL slice of the global batch (TrainLoader with
+    process_index/process_count yields exactly that) and the global array is
+    assembled from per-process shards without any cross-host data movement —
+    per-host input sharding over DCN, SURVEY §2c."""
     sh = batch_sharding(mesh)
+    if _mesh_is_multi_process(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate a pytree onto every device of the mesh.  On a multi-host
+    mesh every process must hold identical host values (same-seed init /
+    same checkpoint — both true here); each contributes its addressable
+    replicas."""
     rep = replicated(mesh)
+    if _mesh_is_multi_process(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
