@@ -132,6 +132,17 @@ def _measure() -> None:
 
     cfg = Config()
     cfg.model.depth = depth
+    # dotted experiment overrides, ';'-separated — e.g.
+    # UWCV_BENCH_OVERRIDES="model.pooler_window=28;model.stem_im2col=false"
+    ov = os.environ.get("UWCV_BENCH_OVERRIDES")
+    if ov:
+        cfg.apply([s for s in ov.split(";") if s])
+        RESULT["overrides"] = ov
+    # label the baseline comparison explicitly (it is a torch-CPU END-TO-END
+    # figure; the device-resident headline excludes host prep + H2D, which
+    # the CPU baseline barely pays — e2e_ips/e2e_vs_baseline are the
+    # like-for-like pair and are always emitted)
+    RESULT["baseline"] = f"{baseline_ips} img/s torch-CPU e2e (BASELINE.md)"
 
     RESULT["status"] = "init params"
     log("init params")

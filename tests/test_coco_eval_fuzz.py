@@ -1,0 +1,234 @@
+"""Randomized cross-validation of the evaluator against an INDEPENDENT
+oracle (VERDICT r3 missing #4 / next-round #8).
+
+pycocotools cannot be installed in this image, so this file carries a
+from-scratch, deliberately-naive port of COCOeval's evaluateImg+accumulate
+for bbox: the literal per-prediction matching loop (gts sorted ignored-last,
+`if iou < best: continue` so the LAST tied gt wins, ignored-gt fallback,
+area-range ignore of both gts and unmatched predictions), score-sorted
+accumulation across images, 101-point interpolated AP and AR@k — structured
+completely differently from `eval/coco_eval.py`'s vectorized
+all-thresholds-at-once implementation, so shared bugs are unlikely.
+
+Fuzz: random multi-image, multi-class scenes with duplicate detections,
+exact IoU ties, class confusions, and score ties.  Every summary row the
+evaluator emits must match the oracle to float precision.
+"""
+
+import numpy as np
+import pytest
+
+from uwcv_tpu.eval.coco_eval import COCOEvaluator
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+AREA_RNGS = {
+    "all": (0.0, float("inf")),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, float("inf")),
+}
+
+
+def _iou(a, b):
+    x1 = np.maximum(a[0], b[0])
+    y1 = np.maximum(a[1], b[1])
+    x2 = np.minimum(a[2], b[2])
+    y2 = np.minimum(a[3], b[3])
+    inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+    ua = ((a[2] - a[0]) * (a[3] - a[1])
+          + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / ua if ua > 0 else 0.0
+
+
+def _area(b):
+    return max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+
+
+def oracle_eval_img(preds, gts, thr, rng_lo, rng_hi, max_det):
+    """Literal COCOeval.evaluateImg: returns (scores, tp, ignore) lists.
+
+    preds: [(box, score)] — sorted desc by score, capped at max_det;
+    gts: [box].
+    """
+    order = sorted(range(len(preds)), key=lambda i: -preds[i][1])[:max_det]
+    preds = [preds[i] for i in order]
+    g_ig = [not (rng_lo <= _area(g) <= rng_hi) for g in gts]
+    # pycocotools sorts gts ignored-last (stable)
+    g_order = sorted(range(len(gts)), key=lambda i: g_ig[i])
+    gts = [gts[i] for i in g_order]
+    g_ig = [g_ig[i] for i in g_order]
+
+    gtm = [False] * len(gts)
+    out = []
+    for box, score in preds:
+        best = thr
+        m = -1
+        for gi, g in enumerate(gts):
+            if gtm[gi]:
+                continue
+            if m > -1 and not g_ig[m] and g_ig[gi]:
+                break                      # regular match found; ignored
+            iou = _iou(box, g)             # section begins — stop looking
+            if iou < best:
+                continue
+            best = iou
+            m = gi                          # last tied gt wins (< continue)
+        if m > -1:
+            gtm[m] = True
+            ig = g_ig[m]
+        else:
+            ig = not (rng_lo <= _area(box) <= rng_hi)
+        out.append((score, m > -1 and not g_ig[m], ig))
+    n_gt = sum(1 for x in g_ig if not x)
+    return out, n_gt
+
+
+def oracle_summary(images, num_classes):
+    """images: list of (preds_by_class, gts_by_class) dicts."""
+    res = {}
+    ap_all, ap50, ap75 = [], [], []
+    ap_by_rng = {k: [] for k in ("small", "medium", "large")}
+    ar_by_k = {1: [], 10: [], 100: []}
+    ar_by_rng = {k: [] for k in ("small", "medium", "large")}
+    per_class_ap = {}
+    for c in range(num_classes):
+        aps_rng = {}
+        for rname, (lo, hi) in AREA_RNGS.items():
+            aps, recalls = [], []
+            for thr in IOU_THRS:
+                recs, n_gt = [], 0
+                for preds_by_c, gts_by_c in images:
+                    out, ng = oracle_eval_img(
+                        preds_by_c.get(c, []), gts_by_c.get(c, []),
+                        thr, lo, hi, 100)
+                    recs.extend(out)
+                    n_gt += ng
+                if n_gt == 0:
+                    aps.append(np.nan)
+                    recalls.append(np.nan)
+                    continue
+                recs.sort(key=lambda r: -r[0])
+                tp = np.array([r[1] for r in recs if not r[2]], float)
+                if len(tp) == 0:
+                    aps.append(0.0)
+                    recalls.append(0.0)
+                    continue
+                tpc = np.cumsum(tp)
+                fpc = np.cumsum(1.0 - tp)
+                rc = tpc / n_gt
+                pr = tpc / np.maximum(tpc + fpc, 1e-12)
+                pr = np.maximum.accumulate(pr[::-1])[::-1]
+                pts = np.searchsorted(rc, np.linspace(0, 1, 101),
+                                      side="left")
+                prec = np.where(pts < len(pr),
+                                pr[np.minimum(pts, len(pr) - 1)], 0.0)
+                aps.append(float(prec.mean()))
+                recalls.append(float(rc[-1]))
+            aps_rng[rname] = aps
+            if rname != "all":
+                ap_by_rng[rname].append(np.nanmean(aps)
+                                        if not all(np.isnan(aps))
+                                        else np.nan)
+                ar_by_rng[rname].append(np.nanmean(recalls)
+                                        if not all(np.isnan(recalls))
+                                        else np.nan)
+        ap_all.append(np.nanmean(aps_rng["all"])
+                      if not all(np.isnan(aps_rng["all"])) else np.nan)
+        per_class_ap[c] = ap_all[-1]
+        ap50.append(aps_rng["all"][0])
+        ap75.append(aps_rng["all"][5])
+        # AR@k over the full range
+        for k in (1, 10, 100):
+            recalls = []
+            for thr in IOU_THRS:
+                tp_sum, n_gt = 0, 0
+                for preds_by_c, gts_by_c in images:
+                    out, ng = oracle_eval_img(
+                        preds_by_c.get(c, []), gts_by_c.get(c, []),
+                        thr, 0.0, float("inf"), k)
+                    tp_sum += sum(1 for s, t, ig in out if t and not ig)
+                    n_gt += ng
+                recalls.append(tp_sum / n_gt if n_gt else np.nan)
+            if not all(np.isnan(recalls)):
+                ar_by_k[k].append(np.nanmean(recalls))
+
+    def nm(x):
+        x = [v for v in x if not np.isnan(v)]
+        return float(np.mean(x)) if x else -1.0
+
+    res["AP"] = nm(ap_all)
+    res["AP50"] = nm(ap50)
+    res["AP75"] = nm(ap75)
+    for rname in ("small", "medium", "large"):
+        res[f"AP_{rname}"] = nm(ap_by_rng[rname])
+        res[f"AR_{rname}"] = nm(ar_by_rng[rname])
+    for k in (1, 10, 100):
+        res[f"AR@{k}"] = nm(ar_by_k[k])
+    for c, v in per_class_ap.items():
+        res[f"AP_class{c}"] = -1.0 if np.isnan(v) else float(v)
+    return res
+
+
+def _random_scene(rng, num_classes):
+    """Random gts + predictions with deliberate nastiness: duplicates,
+    exact-tie IoUs (copied boxes), class confusion, tied scores."""
+    gts_by_c, preds_by_c = {}, {}
+    for c in range(num_classes):
+        n_g = int(rng.integers(0, 5))
+        gts = []
+        for _ in range(n_g):
+            x, y = rng.uniform(0, 400, 2)
+            w, h = rng.uniform(4, 200, 2)
+            gts.append([x, y, x + w, y + h])
+        if gts:
+            gts_by_c[c] = gts
+        preds = []
+        for g in gts:
+            for _ in range(int(rng.integers(0, 3))):   # 0-2 dets per gt
+                jitter = rng.normal(0, 8, 4)
+                b = [g[0] + jitter[0], g[1] + jitter[1],
+                     g[2] + jitter[2], g[3] + jitter[3]]
+                score = float(np.round(rng.uniform(0.1, 1.0), 1))  # ties
+                preds.append((b, score))
+        for _ in range(int(rng.integers(0, 3))):        # FPs
+            x, y = rng.uniform(0, 400, 2)
+            w, h = rng.uniform(4, 150, 2)
+            preds.append(([x, y, x + w, y + h],
+                          float(np.round(rng.uniform(0.1, 1.0), 1))))
+        if preds and rng.uniform() < 0.3 and gts:
+            preds.append((list(gts[0]), 0.5))           # exact-IoU tie
+        if preds:
+            preds_by_c[c] = preds
+    return preds_by_c, gts_by_c
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_fuzz_multi_image_multi_class_vs_oracle(seed):
+    rng = np.random.default_rng(seed)
+    num_classes = 3
+    n_images = int(rng.integers(2, 6))
+    images = [_random_scene(rng, num_classes) for _ in range(n_images)]
+
+    ev = COCOEvaluator(num_classes=num_classes, iou_type="bbox")
+    for preds_by_c, gts_by_c in images:
+        pb, ps, pc = [], [], []
+        for c, preds in preds_by_c.items():
+            for b, s in preds:
+                pb.append(b)
+                ps.append(s)
+                pc.append(c)
+        gb, gc = [], []
+        for c, gts in gts_by_c.items():
+            for b in gts:
+                gb.append(b)
+                gc.append(c)
+        ev.add_image(
+            {"boxes": np.array(pb).reshape(-1, 4), "scores": np.array(ps),
+             "classes": np.array(pc, int)},
+            {"boxes": np.array(gb).reshape(-1, 4),
+             "classes": np.array(gc, int)})
+    got = ev.summarize()
+    want = oracle_summary(images, num_classes)
+    for key, w in want.items():
+        assert got[key] == pytest.approx(w, abs=1e-9), (
+            key, got[key], w, seed)
