@@ -303,7 +303,8 @@ def _measure() -> None:
         sds = lambda t: jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
         lowered = predictor._jit_p.lower(sds(predictor.params),
-                                         *sds(device_ops))
+                                         *sds(device_ops[:3]),
+                                         device_ops[3])
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]

@@ -153,3 +153,52 @@ def test_crop_and_resize_values():
     crop = np.asarray(crop_and_resize_masks(jnp.asarray(m[None]), box, 4))
     assert crop[0, 0].min() > 0.9  # top rows ≈ 1
     assert crop[0, 3].max() < 0.1  # bottom rows ≈ 0
+
+
+def test_paste_select_pack_matches_unfused_pipeline():
+    """The fused scan (paste_select_pack) must be bit-identical to the
+    unfused paste → remove_overlaps → min-pixel filter → pack chain it
+    replaces (PERF.md r4 tail fusion)."""
+    import jax.numpy as jnp
+
+    from uwcv_tpu.data.augment import pack_bitmasks
+    from uwcv_tpu.ops.mask_paste import paste_masks, paste_select_pack
+    from uwcv_tpu.ops.morphology import remove_overlaps
+
+    rng = np.random.default_rng(11)
+    d, m, h, w = 17, 28, 128, 160
+    probs = jnp.asarray(rng.uniform(0, 1, (d, m, m)), jnp.float32)
+    x1 = rng.uniform(0, w - 30, d)
+    y1 = rng.uniform(0, h - 30, d)
+    boxes = jnp.asarray(np.stack([
+        x1, y1, x1 + rng.uniform(10, 60, d), y1 + rng.uniform(10, 60, d)],
+        axis=1), jnp.float32)
+    keep = jnp.asarray(rng.uniform(size=d) < 0.8)
+    scores = jnp.asarray(rng.uniform(0.1, 1.0, d), jnp.float32)
+    min_pixels = 40
+
+    # unfused reference chain (exact predictor semantics pre-fusion)
+    masks = paste_masks(probs, boxes, (h, w))
+    order = jnp.argsort(-jnp.where(keep, scores, -jnp.inf), stable=True)
+    masks_o = remove_overlaps(masks, order.astype(jnp.int32))
+    keep_ref = keep & (masks_o.sum(axis=(1, 2)) >= min_pixels)
+    masks_o = masks_o & keep_ref[:, None, None]
+    packed_ref = pack_bitmasks(masks_o)
+
+    packed, keep_out = paste_select_pack(
+        probs, boxes, keep, scores, (h, w), min_pixels=min_pixels,
+        do_remove_overlaps=True, chunk=5)
+    np.testing.assert_array_equal(np.asarray(keep_out), np.asarray(keep_ref))
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(packed_ref))
+
+    # no-overlap-removal variant
+    keep_ref2 = keep & (
+        (masks & keep[:, None, None]).sum(axis=(1, 2)) >= min_pixels)
+    packed_ref2 = pack_bitmasks(masks & keep_ref2[:, None, None])
+    packed2, keep_out2 = paste_select_pack(
+        probs, boxes, keep, scores, (h, w), min_pixels=min_pixels,
+        do_remove_overlaps=False, chunk=4)
+    np.testing.assert_array_equal(np.asarray(keep_out2),
+                                  np.asarray(keep_ref2))
+    np.testing.assert_array_equal(np.asarray(packed2),
+                                  np.asarray(packed_ref2))

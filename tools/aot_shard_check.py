@@ -144,7 +144,8 @@ def main() -> int:
                 pmesh, jax.sharding.PartitionSpec())), pred.params)
     print(f"[aot +{time.time() - t0:6.1f}s] lowering sharded predictor "
           f"({bp}×{h}×{w}, pure-DP {N_DEV} devices)", flush=True)
-    plowered = pred._jit_p.lower(prep, imgs, scales, osizes)
+    plowered = pred._jit_p.lower(prep, imgs, scales, osizes,
+                                 (h, w))
     print(f"[aot +{time.time() - t0:6.1f}s] compiling predictor", flush=True)
     pcompiled = plowered.compile()
     report["programs"]["predictor_dp"] = {

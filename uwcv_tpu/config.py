@@ -99,9 +99,13 @@ class ModelConfig:
     # test_max_size below it (see input.test_max_size).
     pooler_window: int = 32
     # compute the 7×7/2 stem conv as explicit im2col + one [147,64] matmul
-    # (models/resnet.py StemConv): ~3× faster than the thin-channel spatial
-    # conv on TPU; exact (same f32-accumulated products)
-    stem_im2col: bool = True
+    # (models/resnet.py StemConv).  MEASURED NEGATIVE on chip (PERF.md r4):
+    # the 49-slice concat relayout costs far more than the thin-channel conv
+    # saves (batch-32 device-resident 86 → 34 img/s), same verdict as the
+    # MLPerf space-to-depth attempt — this XLA/libtpu handles the 3-channel
+    # stem better than any explicit re-expression.  Kept as an exact,
+    # tested option (test_backbone.py) for other XLA versions; default OFF.
+    stem_im2col: bool = False
     mask_head_resolution: int = 28        # deconv output
     # canonical FPN level assignment (FPN paper eq. 1)
     canonical_box_size: float = 224.0
@@ -223,6 +227,12 @@ class PostprocessConfig:
     smooth: bool = True                 # erosion(dilation(mask)) nn_inference.py:296-297
     remove_overlaps: bool = True
     drop_fragmented: bool = True        # multi-component masks zeroed nn_inference.py:299-306
+    # image-scale tail strategy: 0 = the parallel unfused chain (paste →
+    # remove_overlaps → filter → pack; best measured on this chip, PERF.md
+    # r4); N>0 = the fused scan ops/mask_paste.py::paste_select_pack with
+    # N detections per step (bit-identical output; lower peak HBM — the
+    # choice is a speed/memory knob, bigger canvases may need the scan)
+    paste_chunk: int = 0
 
 
 @dataclass

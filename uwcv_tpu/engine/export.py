@@ -77,7 +77,9 @@ def load_exported(path: str):
     b, ch, cw = img_aval.shape[0], img_aval.shape[1], img_aval.shape[2]
     call = jax.jit(exp.call)
 
-    def run(images, scales, out_sizes):
+    def run(images, scales, out_sizes, model_canvas=None):
+        # model_canvas is a live-predictor optimization knob; the exported
+        # program's canvas is baked — smaller batches/canvases pad in below
         n = images.shape[0]
         if n > b:
             raise ValueError(f"exported for batch {b}, got {n}")

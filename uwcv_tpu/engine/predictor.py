@@ -22,8 +22,8 @@ from uwcv_tpu.config import Config
 from uwcv_tpu.data.augment import pack_bitmasks
 from uwcv_tpu.data.loader import load_image_rgb
 from uwcv_tpu.models.rcnn import MaskRCNN
-from uwcv_tpu.ops.mask_paste import paste_masks
-from uwcv_tpu.ops.morphology import clean_head_masks, remove_overlaps
+from uwcv_tpu.ops.mask_paste import paste_masks, paste_select_pack
+from uwcv_tpu.ops.morphology import clean_head_masks
 from uwcv_tpu.structures.instances import Instances
 from uwcv_tpu.utils.image import pad_to_canvas, shortest_edge_scale
 
@@ -76,25 +76,36 @@ class Predictor:
             self.params = replicate(params, mesh)
             self._batch_sharding = batch_sharding(mesh)
             data_spec = P(mesh.axis_names[0])
-            run = shard_map(
-                lambda p, im, sc, os: self._run(im, sc, os, params=p),
-                mesh=mesh,
-                in_specs=(P(), data_spec, data_spec, data_spec),
-                out_specs=data_spec, check_rep=False)
-            jit_p = jax.jit(run)
+            default_mc = tuple(cfg.input.pad_size_test)
+
+            def run_mc(p, im, sc, os, mc=default_mc):
+                f = shard_map(
+                    lambda p, im, sc, os: self._run(im, sc, os, params=p,
+                                                    model_canvas=mc),
+                    mesh=mesh,
+                    in_specs=(P(), data_spec, data_spec, data_spec),
+                    out_specs=data_spec, check_rep=False)
+                return f(p, im, sc, os)
+
+            jit_p = jax.jit(run_mc, static_argnums=(4,))
             self._jit_p = jit_p
-            self._jit_run = lambda im, sc, os: jit_p(self.params, im, sc, os)
+            self._jit_run = lambda im, sc, os, mc=default_mc: jit_p(
+                self.params, im, sc, os, mc)
         elif mesh is not None:
             from uwcv_tpu.parallel.mesh import batch_sharding, replicate
 
             self.params = replicate(params, mesh)
             self._batch_sharding = batch_sharding(mesh)
+            default_mc = tuple(cfg.input.pad_size_test)
             jit_p = jax.jit(
-                lambda p, im, sc, os: self._run(im, sc, os, params=p),
+                lambda p, im, sc, os, mc=default_mc: self._run(
+                    im, sc, os, params=p, model_canvas=mc),
                 in_shardings=(None, self._batch_sharding,
-                              self._batch_sharding, self._batch_sharding))
+                              self._batch_sharding, self._batch_sharding),
+                static_argnums=(4,))
             self._jit_p = jit_p
-            self._jit_run = lambda im, sc, os: jit_p(self.params, im, sc, os)
+            self._jit_run = lambda im, sc, os, mc=default_mc: jit_p(
+                self.params, im, sc, os, mc)
         else:
             self.params = params
             self._batch_sharding = None
@@ -104,10 +115,14 @@ class Predictor:
             # Params ride as a jit ARGUMENT (not trace-time closure
             # constants) so ``set_params`` swaps weights with no retrace —
             # HPO shares one compiled predictor across trials (hpo/study.py).
+            default_mc = tuple(cfg.input.pad_size_test)
             jit_p = jax.jit(
-                lambda p, im, sc, os: self._run(im, sc, os, params=p))
+                lambda p, im, sc, os, mc=default_mc: self._run(
+                    im, sc, os, params=p, model_canvas=mc),
+                static_argnums=(4,))
             self._jit_p = jit_p
-            self._jit_run = lambda im, sc, os: jit_p(self.params, im, sc, os)
+            self._jit_run = lambda im, sc, os, mc=default_mc: jit_p(
+                self.params, im, sc, os, mc)
 
     def set_params(self, params) -> None:
         """Swap weights WITHOUT recompiling — params are a jit argument, so
@@ -149,15 +164,25 @@ class Predictor:
     # -------- device program --------
 
     def _run(self, images: jnp.ndarray, scales: jnp.ndarray,
-             out_sizes: jnp.ndarray, params=None):
+             out_sizes: jnp.ndarray, params=None, model_canvas=None):
         """images [B,Hc,Wc,3|1] uint8 host-padded; scales [B]; out_sizes
         [B,2] (true resized h,w) → padded detections + full-size masks.
         1-channel inputs are the grayscale-transfer fast path (the host
         ships one channel for grayscale batches); re-broadcast to RGB.
         ``params`` overrides self.params (the shard_map path must pass
-        params as an argument — closed-over tracers are not allowed)."""
+        params as an argument — closed-over tracers are not allowed).
+
+        ``model_canvas`` (STATIC (h,w), default = the config pad canvas):
+        the canvas the model actually runs at.  ``stage_batch`` sets it to
+        the 128-bucketed max resized extent of the batch, so a folder of
+        1024×1280 micrographs runs the trunk/RPN/paste at 832×1024 instead
+        of the worst-case 1024×1344 — 38% fewer pixels through EVERY
+        image-scale stage (the reference's DefaultPredictor also runs
+        per-image exact sizes; static bucketing is the TPU-shaped version).
+        Distinct canvases compile distinct programs, O(few) per folder."""
         cfg = self.cfg
         params = params if params is not None else self.params
+        mch, mcw = model_canvas or (self.pad_h, self.pad_w)
         if images.shape[-1] == 1:
             images = jnp.broadcast_to(
                 images, images.shape[:-1] + (3,))
@@ -165,18 +190,18 @@ class Predictor:
         def resize_one(img, scale):
             return jax.image.scale_and_translate(
                 img.astype(jnp.float32),
-                (self.pad_h, self.pad_w, 3),
+                (mch, mcw, 3),
                 spatial_dims=(0, 1),
                 scale=jnp.stack([scale, scale]),
                 translation=jnp.zeros((2,), jnp.float32),
                 method="bilinear", antialias=True)
 
         # mask out pad region (resample ringing beyond the true extent)
-        yy = jnp.arange(self.pad_h)[None, :, None]
-        xx = jnp.arange(self.pad_w)[None, None, :]
+        yy = jnp.arange(mch)[None, :, None]
+        xx = jnp.arange(mcw)[None, None, :]
         inside = ((yy < out_sizes[:, 0][:, None, None])
                   & (xx < out_sizes[:, 1][:, None, None]))
-        if images.shape[:3] == (images.shape[0], self.pad_h, self.pad_w):
+        if images.shape[:3] == (images.shape[0], mch, mcw):
             # Unit-scale fast path: with input.host_resize (the default) the
             # host already resampled every image, so scale==1 for the whole
             # batch in the common case and the antialiased bilinear resample
@@ -202,33 +227,49 @@ class Predictor:
             pp = cfg.postprocess
             if self.mask_postprocess:
                 # topology cleanup at head resolution (see clean_head_masks
-                # docstring for why this is the TPU-correct placement)
+                # docstring for why this is the TPU-correct placement), then
+                # the FUSED paste→overlap-claim→filter→pack scan: one pass
+                # over image scale instead of four [D,H,W] materializations
+                # (60.3 → measured ladder in PERF.md r4); bit-identical to
+                # the unfused chain (test_ops_morphology_paste.py)
                 cleaned, single = clean_head_masks(
                     probs, 0.5,
                     do_fill_holes=pp.fill_holes,
                     do_smooth=pp.smooth,
                     drop_fragmented=pp.drop_fragmented)
-                masks = paste_masks(cleaned.astype(jnp.float32), det.boxes,
-                                    (self.pad_h, self.pad_w))
                 keep = det.valid & single
                 keep &= det.scores >= pp.score_floor
-                if pp.remove_overlaps:
-                    order = jnp.argsort(
-                        -jnp.where(keep, det.scores, -jnp.inf), stable=True)
-                    masks = remove_overlaps(masks, order.astype(jnp.int32))
-                keep &= masks.sum(axis=(1, 2)) >= pp.min_mask_pixels
-                masks &= keep[:, None, None]
+                if pp.paste_chunk > 0:
+                    packed, keep = paste_select_pack(
+                        cleaned.astype(jnp.float32), det.boxes, keep,
+                        det.scores, (mch, mcw),
+                        min_pixels=pp.min_mask_pixels,
+                        do_remove_overlaps=pp.remove_overlaps,
+                        chunk=pp.paste_chunk)
+                else:
+                    from uwcv_tpu.ops.morphology import remove_overlaps
+
+                    masks = paste_masks(cleaned.astype(jnp.float32),
+                                        det.boxes, (mch, mcw))
+                    if pp.remove_overlaps:
+                        order = jnp.argsort(
+                            -jnp.where(keep, det.scores, -jnp.inf),
+                            stable=True)
+                        masks = remove_overlaps(masks,
+                                                order.astype(jnp.int32))
+                    keep &= masks.sum(axis=(1, 2)) >= pp.min_mask_pixels
+                    packed = pack_bitmasks(masks & keep[:, None, None])
             else:
-                masks = paste_masks(probs, det.boxes,
-                                    (self.pad_h, self.pad_w))
+                masks = paste_masks(probs, det.boxes, (mch, mcw))
                 masks &= det.valid[:, None, None]
                 keep = det.valid
-            return masks, keep
+                packed = pack_bitmasks(masks)
+            # bit-packed for the device→host hop: [D,H,W/8] uint8, an 8×
+            # cut of what dominates D2H traffic
+            return packed, keep
 
-        masks, keep = jax.vmap(paste_one)(dets, mask_probs, out_sizes)
-        # bit-pack for the device→host hop: [B,D,H,W] bool → [B,D,H,W/8]
-        # uint8, an 8× cut of what dominates D2H traffic
-        return dets, pack_bitmasks(masks), keep
+        packed, keep = jax.vmap(paste_one)(dets, mask_probs, out_sizes)
+        return dets, packed, keep
 
     # -------- host API --------
 
@@ -302,7 +343,14 @@ class Predictor:
             put = lambda x: jax.device_put(x, self._batch_sharding)
         else:
             put = jnp.asarray
-        return ((put(batch), put(scales), put(out_sizes)),
+        # model canvas = 128-bucketed max RESIZED extent of the batch: the
+        # trunk/RPN/paste run at the content size, not the worst-case pad
+        # canvas (38% fewer pixels for the reference's 1024×1280 inputs —
+        # see _run's model_canvas doc); never exceeds the config pad canvas
+        # (scales are pre-clamped to fit it in _prepare)
+        mch = min(bucket128(int(out_sizes[:, 0].max())), self.pad_h)
+        mcw = min(bucket128(int(out_sizes[:, 1].max())), self.pad_w)
+        return ((put(batch), put(scales), put(out_sizes), (mch, mcw)),
                 ([p[2] for p in prepped], [p[3] for p in prepped]))
 
     def predict_batch_device(self, images_rgb: Sequence[np.ndarray],

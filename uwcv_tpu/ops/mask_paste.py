@@ -102,3 +102,86 @@ def crop_and_resize_masks(
         return top * (1 - fy)[:, None] + bot * fy[:, None]
 
     return jax.vmap(crop_one)(gt_masks, boxes)
+
+
+def paste_select_pack(
+    probs: jnp.ndarray,
+    boxes: jnp.ndarray,
+    keep: jnp.ndarray,
+    scores: jnp.ndarray,
+    image_size,
+    min_pixels: int = 0,
+    do_remove_overlaps: bool = True,
+    threshold: float = 0.5,
+    chunk: int = 10,
+):
+    """Fused paste → overlap-claim → min-pixel filter → bitpack, one pass.
+
+    The unfused pipeline (paste_masks → ops.morphology.remove_overlaps →
+    count filter → pack) materializes the [D,H,W] mask stack in HBM four+
+    times (f32 paste, bool, the uint8 rank map, the winner compare) —
+    measured 60 ms of a 374 ms batch-32 inference (PERF.md r4).  Here a
+    ``lax.scan`` walks the detections in score-rank order, ``chunk`` at a
+    time, carrying only the [H,W] pixel-owner map: each step pastes its
+    chunk, claims still-unowned pixels (first-painter-wins — identical to
+    remove_overlaps' min-rank winner, proven by the unit test), applies the
+    min-pixel filter, and emits the chunk already bit-packed.  Peak extra
+    HBM = one [chunk,H,W] transient + the owner map instead of 4×[D,H,W].
+
+    probs [D,M,M] float head-res masks (cleaned), boxes [D,4] XYXY,
+    keep [D] bool (validity ∧ score-floor ∧ topology), scores [D] →
+    (packed [D,H,W/8] uint8 in the ORIGINAL detection order,
+    keep_out [D] bool after the min-pixel filter).
+    """
+    h, w = image_size
+    d, m, _ = probs.shape
+    pad = -d % chunk
+    if pad:
+        probs = jnp.pad(probs, ((0, pad), (0, 0), (0, 0)))
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        keep = jnp.pad(keep, (0, pad))
+        scores = jnp.pad(scores, (0, pad))
+    dp = d + pad
+    # rank = position in the score-descending order among KEEP masks
+    # (non-keep rank last; they never claim pixels — equivalent to the
+    # unfused path, which zeroed their output after the claim anyway)
+    order = jnp.argsort(-jnp.where(keep, scores, -jnp.inf), stable=True)
+    inv = jnp.zeros((dp,), jnp.int32).at[order].set(
+        jnp.arange(dp, dtype=jnp.int32))
+    probs_o = probs[order]
+    boxes_o = boxes[order]
+    keep_o = keep[order]
+    unclaimed = jnp.asarray(dp, jnp.int32)
+
+    def step(owner, xs):
+        pc, bc, kc, base = xs
+
+        def paste_one(mask, box):
+            wy = _axis_weights(h, box[1], box[3], m)
+            wx = _axis_weights(w, box[0], box[2], m)
+            return wy @ mask.astype(jnp.float32) @ wx.T
+
+        img = jax.vmap(paste_one)(pc, bc) > threshold      # [C,H,W]
+        img &= kc[:, None, None]
+        if do_remove_overlaps:
+            ranks = base + jnp.arange(pc.shape[0], dtype=jnp.int32)
+            eff = jnp.where(img, ranks[:, None, None], unclaimed)
+            new_owner = jnp.minimum(owner, eff.min(axis=0))
+            img &= eff == new_owner[None]
+            owner = new_owner
+        cnt = img.sum(axis=(1, 2))
+        ok = kc & (cnt >= min_pixels)
+        img &= ok[:, None, None]
+        from uwcv_tpu.data.augment import pack_bitmasks
+
+        return owner, (pack_bitmasks(img), ok)
+
+    owner0 = jnp.full((h, w), dp, jnp.int32)
+    xs = (probs_o.reshape(dp // chunk, chunk, m, m),
+          boxes_o.reshape(dp // chunk, chunk, 4),
+          keep_o.reshape(dp // chunk, chunk),
+          jnp.arange(0, dp, chunk, dtype=jnp.int32))
+    _, (packed_r, ok_r) = jax.lax.scan(step, owner0, xs)
+    packed_r = packed_r.reshape(dp, h, w // 8)
+    ok_r = ok_r.reshape(dp)
+    return packed_r[inv][:d], ok_r[inv][:d]
