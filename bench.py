@@ -144,19 +144,35 @@ def _measure() -> None:
     # like-for-like pair and are always emitted)
     RESULT["baseline"] = f"{baseline_ips} img/s torch-CPU e2e (BASELINE.md)"
 
+    # trained weights when available (VERDICT r2 weak #1: a random-init
+    # model's detection-stage load — NMS survivors, morphology work, D2H
+    # mask bytes — is not representative).  tools/quality_run.py leaves its
+    # from-scratch fine-tune at output/quality_r{depth}/model_final.
+    wpath = os.environ.get(
+        "UWCV_BENCH_WEIGHTS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "output", f"quality_r{depth}", "model_final"))
+    # adopt the checkpoint's MODEL config when the training run saved one
+    # (Trainer writes output_dir/config.json): a checkpoint trained with
+    # e.g. 5 anchor aspect ratios cannot load into the default 3-ratio
+    # graph.  Bench env overrides still win (re-applied after).
+    cfg_json = os.path.join(os.path.dirname(wpath), "config.json")
+    if os.path.isdir(wpath) and os.path.exists(cfg_json):
+        with open(cfg_json) as f:
+            saved = json.load(f)
+        if "model" in saved:
+            cfg.model = Config.from_dict({"model": saved["model"]}).model
+            cfg.model.depth = depth
+            if ov:
+                cfg.apply([s for s in ov.split(";") if s])
+            RESULT["ckpt_config"] = cfg_json
+            log(f"adopted model config from {cfg_json}")
+
     RESULT["status"] = "init params"
     log("init params")
     model = MaskRCNN(cfg.model)
     params = init_params(model, jax.random.key(0))
-    # trained weights when available (VERDICT r2 weak #1: a random-init
-    # model's detection-stage load — NMS survivors, morphology work, D2H
-    # mask bytes — is not representative).  tools/quality_run.py leaves its
-    # from-scratch fine-tune at output/quality_r50/model_final.
-    wpath = os.environ.get(
-        "UWCV_BENCH_WEIGHTS",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "output", "quality_r50", "model_final"))
-    if depth == 50 and os.path.isdir(wpath):
+    if os.path.isdir(wpath):
         try:
             from uwcv_tpu.engine.checkpoint import load_params
 

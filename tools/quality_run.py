@@ -40,6 +40,9 @@ OUT_JSON = os.environ.get("UWCV_Q_OUT", os.path.join(REPO, "QUALITY_r04.json"))
 OUT_DIR = os.environ.get("UWCV_Q_DIR", os.path.join(REPO, "output", "quality_r50"))
 RESUME = os.environ.get("UWCV_Q_RESUME") == "1"
 SCORE_THRESH_EVAL = float(os.environ.get("UWCV_Q_EVAL_THRESH", "0.05"))
+# the reference's *production* config is R101 (mask_rcnn_R_101_FPN_3x,
+# /root/reference/nn_train.py:196); R50 is its bench depth — both runnable
+DEPTH = int(os.environ.get("UWCV_Q_DEPTH", "50"))
 
 
 def _floats(env: str):
@@ -91,7 +94,7 @@ def main() -> int:
 
     # ---- config ----
     cfg = Config()
-    cfg.model.depth = 50
+    cfg.model.depth = DEPTH
     cfg.solver.ims_per_batch = BATCH
     cfg.solver.base_lr = LR
     cfg.solver.max_iter = ITERS
@@ -163,9 +166,11 @@ def main() -> int:
             f"AP75={r['AP75']:.4f}")
 
     payload = {
-        "task": "from-scratch R50-FPN Mask R-CNN on synthetic 4-class data",
+        "task": f"from-scratch R{DEPTH}-FPN Mask R-CNN on synthetic "
+                "4-class data",
         "provenance": {
             "weights": "random init (no pretrained weights in this image)",
+            "depth": DEPTH,
             "iters": steps_done, "batch": BATCH, "lr": LR,
             "freeze_at": 0,
             "roi_batch_size_per_image": cfg.model.roi_batch_size_per_image,

@@ -143,6 +143,14 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self._step_fn = None
         os.makedirs(cfg.output_dir, exist_ok=True)
+        # Persist the full config next to the checkpoints (Detectron2's
+        # DefaultTrainer writes OUTPUT_DIR/config.yaml the same way,
+        # /root/reference/nn_train.py:211 via trainer construction) so any
+        # later consumer (bench.py, Predictor) can rebuild the *matching*
+        # model — e.g. a checkpoint trained with 5 anchor aspect ratios
+        # must not be loaded into a 3-ratio graph.
+        with open(os.path.join(cfg.output_dir, "config.json"), "w") as f:
+            f.write(cfg.dumps())
 
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         from uwcv_tpu.models.rcnn import init_params
