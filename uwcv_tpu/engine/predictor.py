@@ -11,6 +11,7 @@ redundant forward per image in the measurement sweep (SURVEY.md §3.3).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -432,14 +433,59 @@ class Predictor:
 def load_predictor(cfg: Config, weights: Optional[str] = None) -> Predictor:
     """Build a predictor from cfg.weights (orbax dir or torch .pth) —
     the reference's cfg.MODEL.WEIGHTS = model_final.pth flow
-    (nn_inference.py:225)."""
+    (nn_inference.py:225).
+
+    When the checkpoint dir (or its parent, for .../output_dir/model_final)
+    carries the Trainer-written config.json, the MODEL section is adopted
+    first so the graph matches the trained params — e.g. a checkpoint
+    trained with 5 anchor aspect ratios cannot load into the default
+    3-ratio model.  Explicitly-set inference knobs survive because only
+    cfg.model is replaced (score thresholds etc. live there too, so the
+    caller's cfg.model overrides are re-applied on top via _model_diff).
+    """
     from uwcv_tpu.engine.checkpoint import load_weights
 
     from uwcv_tpu.models.rcnn import init_params
 
+    path = weights or cfg.weights
+    if path and os.path.isdir(path):
+        adopt_checkpoint_model_cfg(cfg, path)
     model = MaskRCNN(cfg.model)
     params = init_params(model, jax.random.key(0))
-    path = weights or cfg.weights
     if path:
         params = load_weights(path, params, cfg.model)
     return Predictor(cfg, params)
+
+
+def adopt_checkpoint_model_cfg(cfg: Config, ckpt_dir: str) -> bool:
+    """Adopt the MODEL section of the Trainer-written config.json found in
+    ``ckpt_dir`` or its parent (for .../output_dir/model_final layouts),
+    in place.  Returns True if one was adopted.
+
+    The caller's non-default model fields win over the saved ones — they
+    are deliberate inference-time overrides (e.g. roi_score_thresh_test) —
+    but params-defining fields (depth, anchor aspect ratios, head dims)
+    come from the checkpoint, which is the only way a 5-anchor-ratio
+    checkpoint can load into a process whose default graph has 3.
+    """
+    import json as _json
+
+    for d in (ckpt_dir, os.path.dirname(os.path.normpath(ckpt_dir))):
+        cfg_json = os.path.join(d, "config.json")
+        if not os.path.exists(cfg_json):
+            continue
+        with open(cfg_json) as f:
+            saved = _json.load(f)
+        if "model" not in saved:
+            return False
+        default = type(cfg.model)()
+        caller_diff = {
+            k: getattr(cfg.model, k)
+            for k in vars(cfg.model)
+            if getattr(cfg.model, k) != getattr(default, k)
+        }
+        cfg.model = Config.from_dict({"model": saved["model"]}).model
+        for k, v in caller_diff.items():
+            setattr(cfg.model, k, v)
+        return True
+    return False
