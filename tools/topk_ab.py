@@ -10,7 +10,11 @@ this script measures what a smaller test-time budget costs in mAP on the
 held-out split so the knob ships with evidence instead of folklore.
 
 Usage: python tools/topk_ab.py   (chip; ~3 evals x ~2 min)
-Env: UWCV_AB_TOPKS="1000,500,300", UWCV_AB_CKPT, UWCV_AB_ROOT
+Env: UWCV_AB_TOPKS="1000,500,300", UWCV_AB_CKPT, UWCV_AB_ROOT.
+UWCV_AB_OVERRIDES (';'-separated dotted config overrides) turns this into
+a generic held-out-mAP neutrality check for ANY knob: set UWCV_AB_TOPKS to
+a single value and A/B the override against a run without it — e.g.
+UWCV_AB_OVERRIDES="postprocess.paste_dtype=bfloat16".
 """
 
 from __future__ import annotations
@@ -52,12 +56,15 @@ def main() -> int:
     test_dicts = get_superannotate_dicts(os.path.join(ROOT, "Test"))
     log(f"test split: {len(test_dicts)} images, ckpt {CKPT}")
 
+    ov = os.environ.get("UWCV_AB_OVERRIDES")
     rows = []
     for topk in TOPKS:
         cfg = Config()
         cfg.model.rpn_post_nms_topk_test = topk
         cfg.model.roi_score_thresh_test = 0.05
         cfg.data.classes_csv = os.path.join(ROOT, "classes.csv")
+        if ov:
+            cfg.apply([s for s in ov.split(";") if s])
         predictor = load_predictor(cfg, weights=CKPT)
         assert predictor.cfg.model.rpn_post_nms_topk_test == topk
         t = time.time()

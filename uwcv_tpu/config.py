@@ -239,6 +239,12 @@ class PostprocessConfig:
     # N detections per step (bit-identical output; lower peak HBM — the
     # choice is a speed/memory knob, bigger canvases may need the scan)
     paste_chunk: int = 0
+    # dtype of the paste resample matmuls ([H,M]@[M,M]@[M,W] per det).
+    # bfloat16 would run them at full MXU rate, but the A/B measured NO win
+    # (122.8 vs 124.3 img/s @32 — the tail is bound by the boolean
+    # overlap/pack traffic XLA already fuses, not matmul rate; PERF.md r4),
+    # so the exact-f32 paste stays the default.
+    paste_dtype: str = "float32"
 
 
 @dataclass

@@ -240,18 +240,19 @@ class Predictor:
                     drop_fragmented=pp.drop_fragmented)
                 keep = det.valid & single
                 keep &= det.scores >= pp.score_floor
+                pdt = jnp.dtype(pp.paste_dtype)
                 if pp.paste_chunk > 0:
                     packed, keep = paste_select_pack(
                         cleaned.astype(jnp.float32), det.boxes, keep,
                         det.scores, (mch, mcw),
                         min_pixels=pp.min_mask_pixels,
                         do_remove_overlaps=pp.remove_overlaps,
-                        chunk=pp.paste_chunk)
+                        chunk=pp.paste_chunk, dtype=pdt)
                 else:
                     from uwcv_tpu.ops.morphology import remove_overlaps
 
                     masks = paste_masks(cleaned.astype(jnp.float32),
-                                        det.boxes, (mch, mcw))
+                                        det.boxes, (mch, mcw), dtype=pdt)
                     if pp.remove_overlaps:
                         order = jnp.argsort(
                             -jnp.where(keep, det.scores, -jnp.inf),

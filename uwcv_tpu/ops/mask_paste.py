@@ -47,10 +47,14 @@ def paste_masks(
     boxes: jnp.ndarray,
     image_size,
     threshold: float = 0.5,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """[N,M,M] mask probabilities + [N,4] XYXY boxes → [N,H,W] bool.
 
     threshold < 0 returns the float paste (no binarization).
+    ``dtype`` is the resample-matmul compute type (PostprocessConfig
+    .paste_dtype): bfloat16 runs at full MXU rate; the 0.5-threshold
+    flips only on |p-0.5| < ~4e-3 boundary pixels.
     """
     h, w = image_size
     m = masks.shape[-1]
@@ -58,7 +62,8 @@ def paste_masks(
     def paste_one(mask, box):
         wy = _axis_weights(h, box[1], box[3], m)   # [H,M]
         wx = _axis_weights(w, box[0], box[2], m)   # [W,M]
-        img = wy @ mask.astype(jnp.float32) @ wx.T  # [H,W]
+        img = (wy.astype(dtype) @ mask.astype(dtype)
+               @ wx.T.astype(dtype))               # [H,W]
         return img
 
     out = jax.vmap(paste_one)(masks, boxes)
@@ -114,6 +119,7 @@ def paste_select_pack(
     do_remove_overlaps: bool = True,
     threshold: float = 0.5,
     chunk: int = 10,
+    dtype=jnp.float32,
 ):
     """Fused paste → overlap-claim → min-pixel filter → bitpack, one pass.
 
@@ -159,7 +165,8 @@ def paste_select_pack(
         def paste_one(mask, box):
             wy = _axis_weights(h, box[1], box[3], m)
             wx = _axis_weights(w, box[0], box[2], m)
-            return wy @ mask.astype(jnp.float32) @ wx.T
+            return (wy.astype(dtype) @ mask.astype(dtype)
+                    @ wx.T.astype(dtype))
 
         img = jax.vmap(paste_one)(pc, bc) > threshold      # [C,H,W]
         img &= kc[:, None, None]
