@@ -26,6 +26,7 @@ TRIALS = int(os.environ.get("UWCV_HPO_TRIALS", "8"))
 ITERS = int(os.environ.get("UWCV_HPO_ITERS", "150"))
 ROOT = os.environ.get("UWCV_Q_ROOT", os.path.join(REPO, "DATASET_QUALITY"))
 OUT = os.environ.get("UWCV_HPO_OUT", os.path.join(REPO, "HPO_r03.json"))
+SPACE = os.environ.get("UWCV_HPO_SPACE", "v1")  # v2 = round-4 knob space
 
 T0 = time.time()
 
@@ -52,14 +53,21 @@ def main() -> int:
     cfg.solver.freeze_at = 0              # trials train from scratch
     cfg.solver.warmup_iters = 50
     cfg.input.max_gt_instances = 16
-    cfg.output_dir = os.path.join(REPO, "output", "hpo_r03")
+    cfg.output_dir = os.path.join(REPO, "output", f"hpo_{SPACE}")
     cfg.data.classes_csv = os.path.join(ROOT, "classes.csv")
+    if SPACE == "v2":
+        # pin the r4 recipe; the v2 space searches the class-imbalance/
+        # orientation knobs around it (hpo/study.py)
+        cfg.model.anchor_aspect_ratios = (0.1, 0.5, 1.0, 2.0, 10.0)
+        cfg.model.roi_batch_size_per_image = 64
 
     t = time.time()
     best = run_reference_hpo(cfg, n_trials=TRIALS,
                              data_dir=os.path.join(ROOT, "Train"),
-                             max_iter=ITERS, eval_max_images=16)
+                             max_iter=ITERS, eval_max_images=16,
+                             space=SPACE)
     wall = time.time() - t
+    best["space"] = SPACE
     best["wall_s"] = round(wall, 1)
     best["trial_iters"] = ITERS
     best["hardware"] = str(jax.devices())
