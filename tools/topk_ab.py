@@ -15,6 +15,9 @@ UWCV_AB_OVERRIDES (';'-separated dotted config overrides) turns this into
 a generic held-out-mAP neutrality check for ANY knob: set UWCV_AB_TOPKS to
 a single value and A/B the override against a run without it — e.g.
 UWCV_AB_OVERRIDES="postprocess.paste_dtype=bfloat16".
+UWCV_AB_SWEEP="model.detections_per_image=100,50,32" sweeps ONE dotted knob
+over several values instead of the topk list (TOPKS then pins the proposal
+budget for every row).
 """
 
 from __future__ import annotations
@@ -57,19 +60,27 @@ def main() -> int:
     log(f"test split: {len(test_dicts)} images, ckpt {CKPT}")
 
     ov = os.environ.get("UWCV_AB_OVERRIDES")
+    sweep = os.environ.get("UWCV_AB_SWEEP")  # "dotted.key=v1,v2,..."
+    if sweep:
+        skey, svals = sweep.split("=", 1)
+        variants = [(f"{skey}={v}", [f"{skey}={v}"]) for v in svals.split(",")]
+    else:
+        variants = [(f"topk={t}", [f"model.rpn_post_nms_topk_test={t}"])
+                    for t in TOPKS]
     rows = []
-    for topk in TOPKS:
+    for label, var_overrides in variants:
         cfg = Config()
-        cfg.model.rpn_post_nms_topk_test = topk
+        if sweep:  # pin the proposal budget (first TOPKS entry) per row
+            cfg.model.rpn_post_nms_topk_test = TOPKS[0]
         cfg.model.roi_score_thresh_test = 0.05
         cfg.data.classes_csv = os.path.join(ROOT, "classes.csv")
         if ov:
             cfg.apply([s for s in ov.split(";") if s])
+        cfg.apply(var_overrides)
         predictor = load_predictor(cfg, weights=CKPT)
-        assert predictor.cfg.model.rpn_post_nms_topk_test == topk
         t = time.time()
         res = evaluate_split(predictor.cfg, test_dicts, predictor=predictor)
-        row = {"topk": topk,
+        row = {"variant": label,
                "segm_AP": round(res["segm"]["AP"], 4),
                "segm_AP50": round(res["segm"]["AP50"], 4),
                "bbox_AP": round(res["bbox"]["AP"], 4),
