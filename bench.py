@@ -155,18 +155,18 @@ def _measure() -> None:
     # adopt the checkpoint's MODEL config when the training run saved one
     # (Trainer writes output_dir/config.json): a checkpoint trained with
     # e.g. 5 anchor aspect ratios cannot load into the default 3-ratio
-    # graph.  Bench env overrides still win (re-applied after).
-    cfg_json = os.path.join(os.path.dirname(wpath), "config.json")
-    if os.path.isdir(wpath) and os.path.exists(cfg_json):
-        with open(cfg_json) as f:
-            saved = json.load(f)
-        if "model" in saved:
-            cfg.model = Config.from_dict({"model": saved["model"]}).model
-            cfg.model.depth = depth
-            if ov:
-                cfg.apply([s for s in ov.split(";") if s])
-            RESULT["ckpt_config"] = cfg_json
-            log(f"adopted model config from {cfg_json}")
+    # graph.  Runtime/inference-budget knobs keep the committed defaults
+    # (adopt_checkpoint_model_cfg skips them); bench env overrides still
+    # win (re-applied after).
+    from uwcv_tpu.engine.predictor import adopt_checkpoint_model_cfg
+
+    if os.path.isdir(wpath) and adopt_checkpoint_model_cfg(cfg, wpath):
+        cfg.model.depth = depth
+        if ov:
+            cfg.apply([s for s in ov.split(";") if s])
+        RESULT["ckpt_config"] = os.path.join(
+            os.path.dirname(wpath), "config.json")
+        log(f"adopted model config from checkpoint at {wpath}")
 
     RESULT["status"] = "init params"
     log("init params")

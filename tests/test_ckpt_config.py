@@ -20,6 +20,7 @@ def _five_ar_cfg(out_dir: str) -> Config:
     cfg.model.anchor_aspect_ratios = (0.1, 0.5, 1.0, 2.0, 10.0)
     cfg.model.roi_batch_size_per_image = 8
     cfg.model.detections_per_image = 10
+    cfg.model.rpn_post_nms_topk_test = 1000  # pre-r4-tuning default
     cfg.input.pad_size_test = (128, 128)
     cfg.input.test_short_edge = 128
     cfg.input.test_max_size = 128
@@ -62,6 +63,18 @@ def test_adopt_checkpoint_model_cfg(tmp_path):
     assert cfg.model.depth == 26
     # ...but the caller's deliberate non-default override survives
     assert cfg.model.roi_score_thresh_test == 0.33
+    # ...and runtime/inference-budget knobs are NEVER adopted: the saved
+    # detections_per_image=10 / rpn_post_nms_topk_test=1000 must not undo
+    # the process's (workload-tuned) defaults
+    assert cfg.model.detections_per_image == Config().model.detections_per_image
+    assert cfg.model.rpn_post_nms_topk_test == \
+        Config().model.rpn_post_nms_topk_test
+
+    # an explicit caller value for a runtime knob still wins
+    cfg_rt = Config()
+    cfg_rt.model.detections_per_image = 25
+    assert adopt_checkpoint_model_cfg(cfg_rt, ckpt)
+    assert cfg_rt.model.detections_per_image == 25
 
     # no config.json anywhere → untouched, returns False
     cfg2 = Config()

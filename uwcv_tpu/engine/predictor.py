@@ -458,6 +458,21 @@ def load_predictor(cfg: Config, weights: Optional[str] = None) -> Predictor:
     return Predictor(cfg, params)
 
 
+# Inference-budget / runtime-backend knobs are NEVER adopted from a
+# checkpoint's saved config: they do not define the trained params, and the
+# running process's (possibly newer, workload-tuned) defaults must rule —
+# e.g. a checkpoint saved when rpn_post_nms_topk_test defaulted to 1000
+# must not silently undo today's measured-mAP-neutral 300 (PERF.md r4).
+# Explicit caller overrides of any of them still win, like every other
+# non-default caller field.
+_RUNTIME_MODEL_FIELDS = frozenset({
+    "rpn_pre_nms_topk_test", "rpn_post_nms_topk_test",
+    "roi_score_thresh_test", "roi_nms_thresh_test",
+    "detections_per_image", "nms_candidates_test",
+    "pooler_pallas", "pooler_window", "stem_im2col",
+})
+
+
 def adopt_checkpoint_model_cfg(cfg: Config, ckpt_dir: str) -> bool:
     """Adopt the MODEL section of the Trainer-written config.json found in
     ``ckpt_dir`` or its parent (for .../output_dir/model_final layouts),
@@ -467,7 +482,8 @@ def adopt_checkpoint_model_cfg(cfg: Config, ckpt_dir: str) -> bool:
     are deliberate inference-time overrides (e.g. roi_score_thresh_test) —
     but params-defining fields (depth, anchor aspect ratios, head dims)
     come from the checkpoint, which is the only way a 5-anchor-ratio
-    checkpoint can load into a process whose default graph has 3.
+    checkpoint can load into a process whose default graph has 3.  Pure
+    runtime knobs (``_RUNTIME_MODEL_FIELDS``) keep the process's values.
     """
     import json as _json
 
@@ -485,7 +501,10 @@ def adopt_checkpoint_model_cfg(cfg: Config, ckpt_dir: str) -> bool:
             for k in vars(cfg.model)
             if getattr(cfg.model, k) != getattr(default, k)
         }
+        before = cfg.model
         cfg.model = Config.from_dict({"model": saved["model"]}).model
+        for k in _RUNTIME_MODEL_FIELDS:
+            setattr(cfg.model, k, getattr(before, k))
         for k, v in caller_diff.items():
             setattr(cfg.model, k, v)
         return True
