@@ -64,7 +64,16 @@ class ModelConfig:
     roi_fg_iou_thresh: float = 0.5
     roi_score_thresh_test: float = 0.80   # nn_inference.py:226 (0.45 in backup_main.py:247)
     roi_nms_thresh_test: float = 0.5
-    detections_per_image: int = 100
+    # Static output-slot cap after per-class NMS.  Detectron2's default is
+    # 100 (what the reference inherits untuned); every downstream stage —
+    # mask head, paste, overlap removal, bit-pack — carries [B, D, ...]
+    # shapes, so D scales the whole post-box tail.  polyHIPE micrographs
+    # carry tens of instances: 100/50/32 measure IDENTICAL held-out mAP to
+    # 4 decimals (segm 0.6022, tools/topk_ab.py sweep mode), while 50 runs
+    # 124.6 → 143.4 img/s @32 device-resident on chip (+15%; 32 reaches
+    # 150.9 but leaves less headroom for denser scenes — PERF.md r4).
+    # Set 100 to mirror Detectron2 exactly.
+    detections_per_image: int = 50
     # NMS candidate cap before the greedy loop: the R×C score matrix has
     # rpn_post_nms_topk·num_classes entries (4000 for the reference config);
     # only the top few hundred can survive, so a top_k prefilter bounds the
