@@ -69,7 +69,7 @@ class Predictor:
             # path dropped to the 3.8× slower XLA pooler because pallas_call
             # has no SPMD partitioning rule; shard_map sidesteps the rule by
             # never partitioning the kernel at all).
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             from uwcv_tpu.parallel.mesh import batch_sharding, replicate
@@ -85,7 +85,7 @@ class Predictor:
                                                     model_canvas=mc),
                     mesh=mesh,
                     in_specs=(P(), data_spec, data_spec, data_spec),
-                    out_specs=data_spec, check_rep=False)
+                    out_specs=data_spec, check_vma=False)
                 return f(p, im, sc, os)
 
             jit_p = jax.jit(run_mc, static_argnums=(4,))
