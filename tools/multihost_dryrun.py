@@ -54,6 +54,13 @@ def child(pid: int, port: int, data_root: str) -> int:
     cfg.parallel.coordinator_address = f"localhost:{port}"
     cfg.parallel.num_processes = N_PROCS
     cfg.parallel.process_id = pid
+    # contended-CI tolerance: on a busy 1-core host the tiny-model compile
+    # can outlast the default 100 s heartbeat window, and the first process
+    # to finish waits at the shutdown barrier while its peer still compiles
+    mh_to = int(os.environ.get("UWCV_MH_TIMEOUT", "1800"))
+    cfg.parallel.init_timeout_s = mh_to
+    cfg.parallel.heartbeat_timeout_s = mh_to
+    cfg.parallel.shutdown_timeout_s = mh_to
 
     multi = initialize_multi_host(cfg.parallel)
     assert multi, "expected a multi-process runtime"
@@ -159,7 +166,9 @@ def parent() -> int:
         "tail": "\n".join("\n".join(o.strip().splitlines()[-3:])
                           for o in outs),
     }
-    with open(os.path.join(REPO, "MULTIHOST_DCN.json"), "w") as f:
+    out_path = os.environ.get(
+        "UWCV_MH_OUT", os.path.join(REPO, "MULTIHOST_DCN.json"))
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps({k: payload[k] for k in
                       ("ok", "n_processes", "losses", "loss_agreement")}))

@@ -291,6 +291,14 @@ class ParallelConfig:
     coordinator_address: str = ""
     num_processes: int = 1
     process_id: int = -1          # -1: from JAX_PROCESS_ID env (or cluster)
+    # coordination-service tolerances (seconds), forwarded to
+    # jax.distributed.initialize.  Defaults match jax 0.9 (300/100/300);
+    # raise them on slow/contended hosts where a compile can outlast a
+    # heartbeat window or one process reaches the shutdown barrier while a
+    # peer is still compiling (observed on a contended 1-core CI host).
+    init_timeout_s: int = 300
+    heartbeat_timeout_s: int = 100
+    shutdown_timeout_s: int = 300
 
 
 @dataclass

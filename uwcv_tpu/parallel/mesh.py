@@ -44,9 +44,14 @@ def initialize_multi_host(cfg: Optional[ParallelConfig] = None) -> bool:
     kwargs = {}
     if cfg.coordinator_address:
         kwargs["coordinator_address"] = cfg.coordinator_address
-    if cfg.num_processes > 1:
+    if cfg.num_processes > 1 or cfg.coordinator_address:
+        # an explicit coordinator means no cluster auto-detection: jax
+        # requires num_processes/process_id even for a 1-process cluster
         kwargs["num_processes"] = cfg.num_processes
         kwargs["process_id"] = pid
+    kwargs["initialization_timeout"] = cfg.init_timeout_s
+    kwargs["heartbeat_timeout_seconds"] = cfg.heartbeat_timeout_s
+    kwargs["shutdown_timeout_seconds"] = cfg.shutdown_timeout_s
     jax.distributed.initialize(**kwargs)
     return jax.process_count() > 1
 
