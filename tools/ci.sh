@@ -16,6 +16,13 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# CPU-only CI must not touch the TPU tunnel: on axon hosts a sitecustomize
+# hook registers the axon PJRT plugin whenever PALLAS_AXON_POOL_IPS is set,
+# and jax.devices() then blocks on the (possibly down) tunnel even under
+# JAX_PLATFORMS=cpu. Unsetting it here makes the whole suite immune to
+# tunnel outages; conftest.py can't do this (sitecustomize already ran).
+unset PALLAS_AXON_POOL_IPS || true
+
 tier="${1:-all}"
 
 if [[ "$tier" == "fast" || "$tier" == "all" ]]; then
