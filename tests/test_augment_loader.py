@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uwcv_tpu.config import Config
 from uwcv_tpu.data.augment import (
@@ -135,6 +136,14 @@ def test_prepare_train_sample_and_loader(tmp_path):
     assert batch["image"].shape == (2, 64, 64, 3)
     assert batch["boxes"].shape == (2, 16, 4)
     assert batch["image"].dtype == np.uint8
+
+    # multi-host sharding with fewer samples than processes would give a
+    # process an empty order[pid::pcount] slice and its index stream would
+    # spin forever — must raise up front, not deadlock
+    cfg4 = Config()
+    cfg4.solver.ims_per_batch = 4
+    with pytest.raises(ValueError, match="process_count"):
+        TrainLoader(dicts, cfg4, process_index=3, process_count=4)
 
 
 def test_rotation_prob_controls_orientation_mix():

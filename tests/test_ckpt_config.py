@@ -83,6 +83,73 @@ def test_adopt_checkpoint_model_cfg(tmp_path):
     assert not adopt_checkpoint_model_cfg(cfg2, bare)
     assert cfg2.model.anchor_aspect_ratios == Config().model.anchor_aspect_ratios
 
+    # some OTHER tool's config.json (no "model" section) inside the ckpt
+    # dir must not shadow the Trainer-written parent config
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        json.dump({"tool": "export-metadata"}, f)
+    cfg3 = Config()
+    assert adopt_checkpoint_model_cfg(cfg3, ckpt)
+    assert cfg3.model.anchor_aspect_ratios == (0.1, 0.5, 1.0, 2.0, 10.0)
+    os.remove(os.path.join(ckpt, "config.json"))
+
+
+def test_trainer_does_not_mutate_caller_cfg(tmp_path):
+    """Trainer deep-copies: its multi-device pooler flip (or any internal
+    edit) must not leak into the caller's cfg, which quality_run/hpo reuse
+    to build the eval Predictor."""
+    from uwcv_tpu.engine.trainer import Trainer
+
+    cfg = _five_ar_cfg(str(tmp_path / "out"))
+    assert cfg.model.pooler_pallas
+    tr = Trainer(cfg)
+    assert tr.cfg is not cfg
+    tr.cfg.model.depth = 50
+    assert cfg.model.depth == 26
+
+
+def test_prepare_bench_model_adopts_and_falls_back(tmp_path, monkeypatch):
+    """The shared UWCV_BENCH_* helper (utils/experiment.py): checkpoint
+    model-config adoption + trained-weight load with random fallback —
+    the logic bench.py/perf_breakdown/serve_latency previously tripled."""
+    import jax
+
+    from uwcv_tpu.engine.checkpoint import save_params
+    from uwcv_tpu.engine.trainer import Trainer
+    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
+    from uwcv_tpu.utils.experiment import prepare_bench_model
+
+    out = str(tmp_path / "out")
+    cfg_train = _five_ar_cfg(out)
+    Trainer(cfg_train)  # writes config.json
+    params = init_params(MaskRCNN(cfg_train.model), jax.random.key(0))
+    ckpt = save_params(out, params)
+
+    env = {"UWCV_BENCH_DEPTH": "26", "UWCV_BENCH_WEIGHTS": ckpt}
+    cfg, model, params2, info = prepare_bench_model(env=env)
+    assert cfg.model.anchor_aspect_ratios == (0.1, 0.5, 1.0, 2.0, 10.0)
+    assert info["weights"].startswith("trained(")
+    assert info["ckpt_config"].endswith("config.json")
+
+    # depth re-pinned after adoption: asking for depth 50 against a
+    # depth-26 checkpoint must fail the load and record the fallback, not
+    # silently benchmark a mislabeled graph
+    env50 = {"UWCV_BENCH_DEPTH": "50", "UWCV_BENCH_WEIGHTS": ckpt}
+    cfg50, _, _, info50 = prepare_bench_model(env=env50)
+    assert cfg50.model.depth == 50
+    assert info50["weights"].startswith("random")
+
+    # overrides win over the adopted checkpoint config
+    env_ov = dict(env, UWCV_BENCH_OVERRIDES="model.detections_per_image=7")
+    cfg_ov, _, _, _ = prepare_bench_model(env=env_ov)
+    assert cfg_ov.model.detections_per_image == 7
+
+    # no weights dir → random init, no adoption
+    env_none = {"UWCV_BENCH_DEPTH": "26",
+                "UWCV_BENCH_WEIGHTS": str(tmp_path / "nope")}
+    cfg_n, _, _, info_n = prepare_bench_model(env=env_none)
+    assert info_n["weights"] == "random"
+    assert cfg_n.model.anchor_aspect_ratios == Config().model.anchor_aspect_ratios
+
 
 @pytest.mark.slow
 def test_load_predictor_adopts_checkpoint_config(tmp_path):

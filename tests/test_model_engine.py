@@ -312,6 +312,16 @@ def test_train_forward_class_rebalance_knobs(tiny_model_and_params):
     # class-0 (the rare thin box) carries weight 4 → cls loss must move
     assert abs(float(weighted["cls"]) - float(base["cls"])) > 1e-6
 
+    # a weight tuple shorter than num_classes would silently mis-weight via
+    # JAX's out-of-bounds index clamping → must raise at model setup
+    for knob in ("class_loss_weights", "roi_fg_class_weights",
+                 "rpn_fg_class_weights"):
+        bad = dataclasses.replace(cfg, **{knob: (2.0, 1.0, 1.0)})
+        with pytest.raises(ValueError, match=knob):
+            MaskRCNN(bad).apply(params, imgs, gt_boxes, gt_classes,
+                                gt_masks, gt_valid, jax.random.key(0),
+                                method=MaskRCNN.forward_train)
+
 
 def test_trainable_mask_freeze_at_deep_stages(tiny_model_and_params):
     from uwcv_tpu.engine.trainer import _trainable_mask

@@ -169,6 +169,7 @@ if __name__ == "__main__":
         env = dict(os.environ)
         env["_UWCV_AOT_CHILD"] = "1"
         env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only child: never touch the tunnel
         flags = [f for f in env.get("XLA_FLAGS", "").split()
                  if "xla_force_host_platform_device_count" not in f]
         flags.append(f"--xla_force_host_platform_device_count={N_DEV}")

@@ -125,6 +125,7 @@ def parent() -> int:
     data_root = "/tmp/uwcv_multihost_ds"
     if not os.path.isdir(os.path.join(data_root, "Train")):
         env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only child: never touch the tunnel
         subprocess.run(
             [sys.executable, "-c",
              "from uwcv_tpu.data.synthetic import generate_dataset;"
@@ -136,6 +137,10 @@ def parent() -> int:
     for pid in range(N_PROCS):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        # CPU-only child must never touch the TPU tunnel: the axon
+        # sitecustomize registers its PJRT plugin whenever this var is set
+        # and get_backend then blocks on a down tunnel even under cpu
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         flags = [f for f in env.get("XLA_FLAGS", "").split()
                  if "xla_force_host_platform_device_count" not in f]
         flags.append(f"--xla_force_host_platform_device_count={DEV_PER_PROC}")

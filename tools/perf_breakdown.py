@@ -31,34 +31,22 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from uwcv_tpu.config import Config
-    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
+    from uwcv_tpu.models.rcnn import MaskRCNN
     from uwcv_tpu.models.rpn import generate_proposals
     from uwcv_tpu.engine.predictor import Predictor
 
     batch = int(os.environ.get("UWCV_BENCH_BATCH", "8"))
-    depth = int(os.environ.get("UWCV_BENCH_DEPTH", "50"))
-    cfg = Config()
-    cfg.model.depth = depth
-    ov = os.environ.get("UWCV_BENCH_OVERRIDES")
-    if ov:
-        cfg.apply([s for s in ov.split(";") if s])
-    h, w = cfg.input.pad_size_test
-    model = MaskRCNN(cfg.model)
-    params = init_params(model, jax.random.key(0))
-    # trained weights when available: a random-init model produces almost no
-    # detections, so paste/overlap/bitpack would read near-zero (bench.py
-    # has the same rule)
-    wpath = os.environ.get(
-        "UWCV_BENCH_WEIGHTS",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "output", "quality_r50",
-            "model_final"))
-    if depth == 50 and os.path.isdir(wpath):
-        from uwcv_tpu.engine.checkpoint import load_params
+    # shared UWCV_BENCH_* resolution (utils/experiment.py): overrides →
+    # checkpoint model-config adoption → trained weights w/ random fallback
+    # (a random-init model produces almost no detections, so
+    # paste/overlap/bitpack would read near-zero — bench.py's rule)
+    from uwcv_tpu.utils.experiment import prepare_bench_model
 
-        params = load_params(wpath, params)
-        print(f"trained weights: {wpath}", file=sys.stderr, flush=True)
+    cfg, model, params, winfo = prepare_bench_model()
+    depth = winfo["depth"]
+    h, w = cfg.input.pad_size_test
+    print(f"weights: {winfo['weights']} ({winfo['weights_path']})",
+          file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(

@@ -37,12 +37,15 @@ N_TRAIN = int(os.environ.get("UWCV_Q_TRAIN", "64"))
 N_TEST = int(os.environ.get("UWCV_Q_TEST", "16"))
 ROOT = os.environ.get("UWCV_Q_ROOT", os.path.join(REPO, "DATASET_QUALITY"))
 OUT_JSON = os.environ.get("UWCV_Q_OUT", os.path.join(REPO, "QUALITY_r04.json"))
-OUT_DIR = os.environ.get("UWCV_Q_DIR", os.path.join(REPO, "output", "quality_r50"))
 RESUME = os.environ.get("UWCV_Q_RESUME") == "1"
 SCORE_THRESH_EVAL = float(os.environ.get("UWCV_Q_EVAL_THRESH", "0.05"))
 # the reference's *production* config is R101 (mask_rcnn_R_101_FPN_3x,
 # /root/reference/nn_train.py:196); R50 is its bench depth — both runnable
 DEPTH = int(os.environ.get("UWCV_Q_DEPTH", "50"))
+# depth-keyed default: bench.py looks for trained weights at
+# output/quality_r{depth}, and an R101 run must not clobber the R50 artifact
+OUT_DIR = os.environ.get(
+    "UWCV_Q_DIR", os.path.join(REPO, "output", f"quality_r{DEPTH}"))
 
 
 def _floats(env: str):
@@ -100,7 +103,9 @@ def main() -> int:
     cfg.solver.max_iter = ITERS
     cfg.solver.warmup_iters = min(250, ITERS // 4)
     cfg.solver.freeze_at = 0              # from scratch: train everything
-    cfg.solver.checkpoint_period = max(ITERS // 3, 1)
+    # dense checkpoints make tunnel-stall restarts cheap (resume_or_load)
+    cfg.solver.checkpoint_period = int(os.environ.get(
+        "UWCV_Q_CKPT_PERIOD", str(max(ITERS // 3, 1))))
     cfg.solver.log_period = 50
     cfg.input.max_gt_instances = 16       # synthetic images carry <= ~10
     cfg.output_dir = OUT_DIR

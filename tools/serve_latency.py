@@ -31,25 +31,15 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from uwcv_tpu.config import Config
-    from uwcv_tpu.engine.checkpoint import load_params
     from uwcv_tpu.engine.predictor import Predictor
-    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
 
     reps = int(os.environ.get("UWCV_LAT_REPS", "30"))
-    cfg = Config()
-    ov = os.environ.get("UWCV_BENCH_OVERRIDES")
-    if ov:
-        cfg.apply([s for s in ov.split(";") if s])
-    model = MaskRCNN(cfg.model)
-    params = init_params(model, jax.random.key(0))
-    wpath = os.environ.get(
-        "UWCV_BENCH_WEIGHTS",
-        os.path.join(REPO, "output", "quality_r50", "model_final"))
-    weights = "random"
-    if os.path.isdir(wpath):
-        params = load_params(wpath, params)
-        weights = f"trained({os.path.basename(wpath)})"
+    # shared UWCV_BENCH_* resolution (utils/experiment.py): overrides →
+    # checkpoint model-config adoption → trained weights w/ random fallback
+    from uwcv_tpu.utils.experiment import prepare_bench_model
+
+    cfg, model, params, winfo = prepare_bench_model(repo_root=REPO)
+    weights = winfo["weights"]
     predictor = Predictor(cfg, params)
 
     rng = np.random.default_rng(0)

@@ -151,6 +151,14 @@ class TrainLoader:
         if not 0 <= process_index < process_count:
             raise ValueError(f"process_index {process_index} not in "
                              f"[0, {process_count})")
+        if len(dataset) < process_count:
+            # order[pid::pcount] would be EMPTY for some process and its
+            # _index_stream would spin forever without yielding — a silent
+            # deadlock holding the index lock, not an error
+            raise ValueError(
+                f"dataset has {len(dataset)} samples < process_count "
+                f"{process_count}: at least one sample per process is "
+                f"required for multi-host input sharding")
         if process_count > 1 and cfg.solver.ims_per_batch % process_count:
             raise ValueError(
                 f"global batch {cfg.solver.ims_per_batch} must divide by "

@@ -494,7 +494,9 @@ def adopt_checkpoint_model_cfg(cfg: Config, ckpt_dir: str) -> bool:
         with open(cfg_json) as f:
             saved = _json.load(f)
         if "model" not in saved:
-            return False
+            # some OTHER tool's config.json (no model section) inside the
+            # ckpt dir must not shadow the Trainer-written parent config
+            continue
         default = type(cfg.model)()
         caller_diff = {
             k: getattr(cfg.model, k)

@@ -125,6 +125,13 @@ class Trainer:
 
     def __init__(self, cfg: Config, model: Optional[MaskRCNN] = None,
                  mesh=None):
+        import copy
+
+        # own copy: the multi-device pooler flip below must not leak into
+        # the CALLER's cfg (quality_run/hpo build their eval Predictor from
+        # the same object, and the single-device eval path may validly keep
+        # the Pallas pooler)
+        cfg = copy.deepcopy(cfg)
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else build_mesh(cfg.parallel)
         if (model is None and self.mesh is not None
@@ -134,7 +141,8 @@ class Trainer:
             # step through the fused pooler would either fail to lower or
             # silently all-gather full FPN maps onto every chip.  The XLA
             # pooler partitions cleanly; single-chip training keeps the
-            # kernel.
+            # kernel.  (pooler_pallas is in predictor._RUNTIME_MODEL_FIELDS,
+            # so the flip persisted into config.json is never adopted back.)
             import dataclasses
 
             cfg.model = dataclasses.replace(cfg.model, pooler_pallas=False)

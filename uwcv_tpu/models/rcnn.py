@@ -62,6 +62,17 @@ class MaskRCNN(nn.Module):
 
     def setup(self):
         c = self.cfg
+        for name in ("class_loss_weights", "roi_fg_class_weights",
+                     "rpn_fg_class_weights"):
+            w = getattr(c, name)
+            if w and len(w) != c.num_classes:
+                # a short tuple would silently mis-weight via JAX's
+                # out-of-bounds index clamping (background would read the
+                # last class's weight) instead of erroring
+                raise ValueError(
+                    f"model.{name} has {len(w)} entries but "
+                    f"num_classes={c.num_classes}; per-class weights must "
+                    f"cover every foreground class")
         dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         self.backbone = ResNet(depth=c.depth, dtype=dtype,
                                stem_im2col=c.stem_im2col)

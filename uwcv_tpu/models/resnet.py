@@ -74,7 +74,9 @@ class StemConv(nn.Module):
     """
 
     dtype: Any = jnp.bfloat16
-    im2col: bool = True
+    # default False = the measured winner (im2col was a 2.5x regression on
+    # chip, PERF.md r4 ladder); matches ModelConfig.stem_im2col
+    im2col: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -144,7 +146,7 @@ class ResNet(nn.Module):
 
     depth: int = 50
     dtype: Any = jnp.bfloat16
-    stem_im2col: bool = True
+    stem_im2col: bool = False  # matches ModelConfig (im2col measured slower)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
