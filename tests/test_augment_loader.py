@@ -146,6 +146,26 @@ def test_prepare_train_sample_and_loader(tmp_path):
         TrainLoader(dicts, cfg4, process_index=3, process_count=4)
 
 
+def test_loader_process_shards_are_disjoint_and_cover(tmp_path):
+    """Multi-host input sharding invariant (SURVEY §2c): processes seeded
+    identically draw the SAME epoch permutation, so their order[pid::pcount]
+    slices are disjoint and their union covers the dataset each epoch —
+    the property the 2-process dryrun's identical-loss assertion rests on."""
+    paths = generate_dataset(str(tmp_path), num_train=6, num_test=0,
+                             num_inference=0, image_size=(64, 64))
+    dicts = get_superannotate_dicts(paths["Train"])
+    cfg = Config()
+    cfg.solver.ims_per_batch = 2
+
+    streams = [TrainLoader(dicts, cfg, seed=7, process_index=p,
+                           process_count=2)._index_stream()
+               for p in range(2)]
+    for _epoch in range(3):
+        per_proc = [{next(s) for _ in range(3)} for s in streams]
+        assert per_proc[0].isdisjoint(per_proc[1])
+        assert per_proc[0] | per_proc[1] == set(range(6))
+
+
 def test_rotation_prob_controls_orientation_mix():
     """rotation_prob: 0 → never rotates, 1 → always (reference parity),
     0.5 → both orientations occur (the scale-bar fix, config.py
