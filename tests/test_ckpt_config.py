@@ -90,6 +90,19 @@ def test_adopt_checkpoint_model_cfg(tmp_path):
     cfg3 = Config()
     assert adopt_checkpoint_model_cfg(cfg3, ckpt)
     assert cfg3.model.anchor_aspect_ratios == (0.1, 0.5, 1.0, 2.0, 10.0)
+
+    # the ckpt-dir config (written atomically with the params by
+    # Trainer.save_checkpoint(final=True)) WINS over a staler parent
+    # config.json — a model_final from an earlier run can't be mispaired
+    # with a newer run's init-time parent config
+    inner = Config()
+    inner.model.depth = 50
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        f.write(inner.dumps())
+    cfg_inner = Config()
+    assert adopt_checkpoint_model_cfg(cfg_inner, ckpt)
+    assert cfg_inner.model.depth == 50
+    assert cfg_inner.model.anchor_aspect_ratios == (0.5, 1.0, 2.0)
     os.remove(os.path.join(ckpt, "config.json"))
 
 

@@ -247,8 +247,17 @@ class Trainer:
             # reference writes OUTPUT_DIR/model_final.pth (nn_train.py:213);
             # params-only — it is consumed by the Predictor (load_params),
             # not resumed from (ckpt_* holds the full TrainState for that)
-            save_params(self.cfg.output_dir, self.state.params,
-                        name="model_final")
+            fpath = save_params(self.cfg.output_dir, self.state.params,
+                                name="model_final")
+            # pair the config ATOMICALLY with the params (orbax restores
+            # fine around the extra file): adopt_checkpoint_model_cfg reads
+            # ckpt_dir/config.json before the parent's, so a model_final
+            # surviving from an earlier run can never be mispaired with a
+            # NEWER output_dir/config.json written at a later Trainer init
+            # (that mismatch made consumers fail the load and silently
+            # measure random weights)
+            with open(os.path.join(fpath, "config.json"), "w") as f:
+                f.write(self.cfg.dumps())
         return path
 
     def resume_or_load(self, resume: bool = False) -> None:
