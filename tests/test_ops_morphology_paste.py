@@ -25,16 +25,38 @@ def _ring(h=32, w=32, y0=8, y1=24, x0=8, x1=24, t=3):
 
 # ---------------- morphology vs scipy oracles ----------------
 
+def _snake(h, w):
+    """Boustrophedon path: one connected component whose geodesic diameter
+    (and whose neighboring background corridor) is O(h*w), not h+w."""
+    m = np.zeros((h, w), bool)
+    for i, r in enumerate(range(1, h - 1, 2)):
+        m[r, 1:w - 1] = True
+        if r + 2 < h:
+            m[r + 1, w - 2 if i % 2 == 0 else 1] = True
+    return m
+
+
 def test_dilate_erode_match_scipy():
     rng = np.random.default_rng(0)
     m = rng.random((24, 28)) > 0.7
-    st = np.ones((3, 3), bool)
+    # default = cross footprint (skimage.morphology.dilation/erosion with
+    # footprint=None — what the reference's smoothing calls), which is
+    # scipy's generate_binary_structure(2, 1)
+    cross = ndi.generate_binary_structure(2, 1)
     np.testing.assert_array_equal(
-        np.asarray(dilate(jnp.asarray(m))), ndi.binary_dilation(m, st))
+        np.asarray(dilate(jnp.asarray(m))), ndi.binary_dilation(m, cross))
     # border_value=1: skimage.morphology.erosion semantics (what the
     # reference's smoothing uses) — the border is not eroded from outside
     np.testing.assert_array_equal(
         np.asarray(erode(jnp.asarray(m))),
+        ndi.binary_erosion(m, cross, border_value=1))
+    # connectivity=2 = full 3×3 square
+    st = np.ones((3, 3), bool)
+    np.testing.assert_array_equal(
+        np.asarray(dilate(jnp.asarray(m), connectivity=2)),
+        ndi.binary_dilation(m, st))
+    np.testing.assert_array_equal(
+        np.asarray(erode(jnp.asarray(m), connectivity=2)),
         ndi.binary_erosion(m, st, border_value=1))
 
 
@@ -43,6 +65,43 @@ def test_fill_holes_matches_scipy():
     got = np.asarray(fill_holes(jnp.asarray(m)))
     want = ndi.binary_fill_holes(m)
     np.testing.assert_array_equal(got, want)
+    # randomized agreement — catches connectivity mismatches the ring can't
+    rng = np.random.default_rng(5)
+    for _ in range(8):
+        r = rng.random((20, 24)) > 0.6
+        np.testing.assert_array_equal(
+            np.asarray(fill_holes(jnp.asarray(r))), ndi.binary_fill_holes(r))
+
+
+def test_fill_holes_diagonal_gap_matches_scipy():
+    """A ring whose boundary closes via a diagonal step: scipy's 4-connected
+    background flood cannot slip through the corner-to-corner gap, so the
+    enclosed region IS a hole — an 8-connected flood would leak through and
+    wrongly leave it unfilled."""
+    m = np.zeros((9, 9), bool)
+    m[2, 2:6] = True          # top
+    m[6, 2:7] = True          # bottom
+    m[2:7, 2] = True          # left
+    m[3:6, 6] = False
+    m[2, 5] = True
+    m[3, 6] = True            # diagonal step from (2,5) to (3,6)
+    m[4:6, 6] = True          # right wall below the step
+    got = np.asarray(fill_holes(jnp.asarray(m)))
+    want = ndi.binary_fill_holes(m)
+    np.testing.assert_array_equal(got, want)
+    assert want[4, 4] and not m[4, 4]  # the case is non-trivial: a real hole
+
+
+def test_fill_holes_serpentine_corridor():
+    """A spiral background corridor longer than H+W: the flood must keep
+    going until convergence (the old H+W iteration cap misclassified the
+    still-border-connected corridor interior as a hole and filled it)."""
+    m = _snake(21, 21)
+    # sanity: the inter-bar corridor is border-connected background, NOT a
+    # hole — scipy leaves the mask unchanged
+    want = ndi.binary_fill_holes(m)
+    np.testing.assert_array_equal(want, m)
+    np.testing.assert_array_equal(np.asarray(fill_holes(jnp.asarray(m))), want)
 
 
 def test_fill_holes_batched():
@@ -55,9 +114,10 @@ def test_fill_holes_batched():
 def test_smooth_matches_scipy_closing():
     rng = np.random.default_rng(1)
     m = rng.random((20, 20)) > 0.5
+    cross = ndi.generate_binary_structure(2, 1)
     got = np.asarray(close_open_smooth(jnp.asarray(m)))
-    wanted = ndi.binary_erosion(ndi.binary_dilation(m, np.ones((3, 3))),
-                                np.ones((3, 3)), border_value=1)
+    wanted = ndi.binary_erosion(ndi.binary_dilation(m, cross),
+                                cross, border_value=1)
     np.testing.assert_array_equal(got, wanted)
 
 
@@ -85,6 +145,17 @@ def test_connected_components_labels_match_scipy():
     ids_got = {tuple(np.sort(np.unique(got[want == k]))) for k in range(1, n + 1)}
     assert all(len(s) == 1 for s in ids_got)  # each scipy comp has 1 our-label
     assert len({s[0] for s in ids_got}) == n  # and they're distinct
+
+
+def test_connected_components_serpentine_single():
+    """A single spiral component whose geodesic diameter is O(H·W): label
+    min-propagation must run to convergence (the old H+W cap left multiple
+    surviving labels → count >= 2 → clean_head_masks silently zeroed a
+    perfectly valid winding instance)."""
+    m = _snake(21, 21)
+    _, n = ndi.label(m, structure=np.ones((3, 3)))
+    assert n == 1  # sanity: the snake really is one 8-connected component
+    assert int(count_components(jnp.asarray(m))) == 1
 
 
 def test_remove_overlaps_priority():
@@ -202,3 +273,21 @@ def test_paste_select_pack_matches_unfused_pipeline():
                                   np.asarray(keep_ref2))
     np.testing.assert_array_equal(np.asarray(packed2),
                                   np.asarray(packed_ref2))
+
+    # extent clipping (per-image content rectangle inside a shared batch
+    # canvas): fused == unfused with the same post-paste AND; overlap claims
+    # are per-pixel independent so clipping is exact for in-extent pixels
+    eh, ew = 100, 120
+    extent = jnp.asarray(
+        (np.arange(h)[:, None] < eh) & (np.arange(w)[None, :] < ew))
+    masks_e = masks & extent[None]
+    masks_eo = remove_overlaps(masks_e, order.astype(jnp.int32))
+    keep_ref3 = keep & (masks_eo.sum(axis=(1, 2)) >= min_pixels)
+    packed_ref3 = pack_bitmasks(masks_eo & keep_ref3[:, None, None])
+    packed3, keep_out3 = paste_select_pack(
+        probs, boxes, keep, scores, (h, w), min_pixels=min_pixels,
+        do_remove_overlaps=True, chunk=5, extent=extent)
+    np.testing.assert_array_equal(np.asarray(keep_out3),
+                                  np.asarray(keep_ref3))
+    np.testing.assert_array_equal(np.asarray(packed3),
+                                  np.asarray(packed_ref3))

@@ -189,13 +189,9 @@ class Predictor:
                 images, images.shape[:-1] + (3,))
 
         def resize_one(img, scale):
-            return jax.image.scale_and_translate(
-                img.astype(jnp.float32),
-                (mch, mcw, 3),
-                spatial_dims=(0, 1),
-                scale=jnp.stack([scale, scale]),
-                translation=jnp.zeros((2,), jnp.float32),
-                method="bilinear", antialias=True)
+            from uwcv_tpu.utils.image import device_resize
+
+            return device_resize(img, scale, mch, mcw)
 
         # mask out pad region (resample ringing beyond the true extent)
         yy = jnp.arange(mch)[None, :, None]
@@ -226,6 +222,13 @@ class Predictor:
 
         def paste_one(det, probs, out_size):
             pp = cfg.postprocess
+            # the image's TRUE resized extent inside the batch-shared model
+            # canvas: pasted pixels beyond it are not image content and must
+            # not count toward min-pixel filters or survive into the packed
+            # masks (Detectron2's detector_postprocess crops the same way;
+            # to_instances clips the boxes correspondingly)
+            extent = ((jnp.arange(mch) < out_size[0])[:, None]
+                      & (jnp.arange(mcw) < out_size[1])[None, :])
             if self.mask_postprocess:
                 # topology cleanup at head resolution (see clean_head_masks
                 # docstring for why this is the TPU-correct placement), then
@@ -247,12 +250,13 @@ class Predictor:
                         det.scores, (mch, mcw),
                         min_pixels=pp.min_mask_pixels,
                         do_remove_overlaps=pp.remove_overlaps,
-                        chunk=pp.paste_chunk, dtype=pdt)
+                        chunk=pp.paste_chunk, dtype=pdt, extent=extent)
                 else:
                     from uwcv_tpu.ops.morphology import remove_overlaps
 
                     masks = paste_masks(cleaned.astype(jnp.float32),
                                         det.boxes, (mch, mcw), dtype=pdt)
+                    masks &= extent[None]
                     if pp.remove_overlaps:
                         order = jnp.argsort(
                             -jnp.where(keep, det.scores, -jnp.inf),
@@ -263,7 +267,7 @@ class Predictor:
                     packed = pack_bitmasks(masks & keep[:, None, None])
             else:
                 masks = paste_masks(probs, det.boxes, (mch, mcw))
-                masks &= det.valid[:, None, None]
+                masks &= det.valid[:, None, None] & extent[None]
                 keep = det.valid
                 packed = pack_bitmasks(masks)
             # bit-packed for the device→host hop: [D,H,W/8] uint8, an 8×
@@ -412,9 +416,18 @@ class Predictor:
             masks_i = None
             if masks_np is not None:
                 masks_i = np.unpackbits(masks_np[i], axis=-1).astype(bool)
-            # boxes back to original image coordinates
+            # clip to the true content extent in the model frame, THEN unmap
+            # to original-image coordinates (Detectron2 detector_postprocess
+            # clips the same way: the shared model canvas can exceed this
+            # image's resized content, so a border instance can regress past
+            # the real image edge — and past where its extent-clipped mask
+            # can follow)
+            boxes_i = boxes_np[i].copy()
+            boxes_i[:, 0::2] = boxes_i[:, 0::2].clip(0.0, float(ow))
+            boxes_i[:, 1::2] = boxes_i[:, 1::2].clip(0.0, float(oh))
+            boxes_i /= scale
             inst = Instances(
-                boxes=boxes_np[i] / scale,
+                boxes=boxes_i,
                 scores=scores_np[i],
                 classes=classes_np[i],
                 valid=valid_np[i],

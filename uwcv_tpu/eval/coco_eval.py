@@ -259,10 +259,13 @@ class COCOEvaluator:
                         for m in per_image:
                             tps += m[:, :k].sum(axis=1)
                         ar_k[k][c] = tps / num_gt
-                tps = np.zeros(n_thr)
-                for m in per_image:
-                    tps += m[:, :MAX_DETS].sum(axis=1)
-                ar_rng[name][c] = tps / num_gt
+                else:
+                    # only small/medium/large AR ranges are reported; the
+                    # "all" range would duplicate ar_k[100] (MAX_DETS) above
+                    tps = np.zeros(n_thr)
+                    for m in per_image:
+                        tps += m[:, :MAX_DETS].sum(axis=1)
+                    ar_rng[name][c] = tps / num_gt
 
         def nanmean(x) -> float:
             # undefined rows (no gt in the bucket) report -1.0 like

@@ -120,6 +120,7 @@ def paste_select_pack(
     threshold: float = 0.5,
     chunk: int = 10,
     dtype=jnp.float32,
+    extent=None,
 ):
     """Fused paste → overlap-claim → min-pixel filter → bitpack, one pass.
 
@@ -138,6 +139,12 @@ def paste_select_pack(
     keep [D] bool (validity ∧ score-floor ∧ topology), scores [D] →
     (packed [D,H,W/8] uint8 in the ORIGINAL detection order,
     keep_out [D] bool after the min-pixel filter).
+
+    ``extent`` (optional [H,W] bool): the image's TRUE resized extent
+    inside a batch-shared canvas.  Pasted pixels outside it are dropped
+    BEFORE the min-pixel count (Detectron2's detector_postprocess crops to
+    the image size the same way); per-pixel overlap claims are independent,
+    so clipping here is exact for every in-extent pixel.
     """
     h, w = image_size
     d, m, _ = probs.shape
@@ -170,6 +177,8 @@ def paste_select_pack(
 
         img = jax.vmap(paste_one)(pc, bc) > threshold      # [C,H,W]
         img &= kc[:, None, None]
+        if extent is not None:
+            img &= extent[None]
         if do_remove_overlaps:
             ranks = base + jnp.arange(pc.shape[0], dtype=jnp.int32)
             eff = jnp.where(img, ranks[:, None, None], unclaimed)

@@ -6,12 +6,14 @@ The reference cleans every predicted mask on the CPU with scipy/skimage
 the batch-inference bottleneck after the model itself.  Here the whole
 cleanup is a fixed-shape XLA program over [N, H, W] mask stacks:
 
-- dilate/erode: 3×3 max/min pooling (``lax.reduce_window``);
-- fill_holes: flood the *background* from the border with iterated 3×3
-  dilation constrained to ~mask (lax.while_loop with convergence test —
-  worst-case bound H+W iterations, exits early when the flood stabilizes);
-- connected components: iterated neighborhood label-min-propagation over a
-  unique-seed labeling, same while_loop pattern;
+- dilate/erode: cross/3×3 max/min pooling (``lax.reduce_window``; the cross
+  is skimage's default footprint, which the reference's smoothing uses);
+- fill_holes: flood the *background* from the border with iterated
+  4-connected dilation constrained to ~mask (scipy's default structure;
+  lax.while_loop exits on the first converged pass — typical masks need a
+  handful of iterations, the cap is the true O(H·W) geodesic worst case);
+- connected components: iterated 8-neighborhood label-min-propagation over
+  a unique-seed int32 labeling, same while_loop pattern;
 - overlap removal: cumulative "claimed" canvas in score order via
   ``lax.scan`` (associative in paint order, matches nn_inference.py:298).
 """
@@ -25,42 +27,70 @@ import jax
 import jax.numpy as jnp
 
 
-def _pool3x3(x: jnp.ndarray, op: str) -> jnp.ndarray:
-    """3×3 max/min over the last two dims of [..., H, W] float arrays."""
-    init = -jnp.inf if op == "max" else jnp.inf
+def _pool(x: jnp.ndarray, op: str, window: Tuple[int, int]) -> jnp.ndarray:
+    """Windowed max/min over the last two dims of [..., H, W] arrays."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = -jnp.inf if op == "max" else jnp.inf
+    else:
+        info = jnp.iinfo(x.dtype)
+        init = info.min if op == "max" else info.max
     comp = jax.lax.max if op == "max" else jax.lax.min
     nd = x.ndim
-    window = (1,) * (nd - 2) + (3, 3)
+    win = (1,) * (nd - 2) + tuple(window)
     strides = (1,) * nd
-    pads = ((0, 0),) * (nd - 2) + ((1, 1), (1, 1))
-    return jax.lax.reduce_window(x, init, comp, window, strides, pads)
+    pads = ((0, 0),) * (nd - 2) + tuple((k // 2, k // 2) for k in window)
+    return jax.lax.reduce_window(x, init, comp, win, strides, pads)
 
 
-def dilate(mask: jnp.ndarray) -> jnp.ndarray:
-    """3×3 binary dilation of bool [..., H, W]."""
-    return _pool3x3(mask.astype(jnp.float32), "max") > 0.5
+def _pool3x3(x: jnp.ndarray, op: str) -> jnp.ndarray:
+    """Full 3×3 (8-connected) max/min."""
+    return _pool(x, op, (3, 3))
 
 
-def erode(mask: jnp.ndarray) -> jnp.ndarray:
-    """3×3 binary erosion of bool [..., H, W]."""
-    return _pool3x3(mask.astype(jnp.float32), "min") > 0.5
+def _pool_cross(x: jnp.ndarray, op: str) -> jnp.ndarray:
+    """Cross-shaped (4-connected) max/min: N/S/E/W neighbors + center —
+    scipy's ``generate_binary_structure(2, 1)``."""
+    comb = jnp.maximum if op == "max" else jnp.minimum
+    return comb(_pool(x, op, (3, 1)), _pool(x, op, (1, 3)))
+
+
+def dilate(mask: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
+    """Binary dilation of bool [..., H, W].
+
+    ``connectivity=1`` (default) = cross footprint, matching
+    ``skimage.morphology.dilation(footprint=None)`` — what the reference's
+    smoothing calls (nn_inference.py:296); 2 = full 3×3 square.
+    """
+    f = _pool_cross if connectivity == 1 else _pool3x3
+    return f(mask.astype(jnp.float32), "max") > 0.5
+
+
+def erode(mask: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
+    """Binary erosion of bool [..., H, W] (footprint as in :func:`dilate`)."""
+    f = _pool_cross if connectivity == 1 else _pool3x3
+    return f(mask.astype(jnp.float32), "min") > 0.5
 
 
 def close_open_smooth(mask: jnp.ndarray) -> jnp.ndarray:
     """erosion(dilation(mask)) — the reference's smoothing
-    (nn_inference.py:296-297: morphological closing with a 3×3 structure)."""
+    (nn_inference.py:296-297; skimage's default footprint is the cross)."""
     return erode(dilate(mask))
 
 
 def fill_holes(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
-    """binary_fill_holes for bool [..., H, W] stacks.
+    """``scipy.ndimage.binary_fill_holes`` for bool [..., H, W] stacks.
 
-    Floods background from the image border; pixels unreachable from the
-    border are holes and get filled.  Convergence-tested while_loop (each
-    dilation advances the frontier ≥1 px, so iterations ≤ H+W worst case).
+    Floods background from the image border with the 4-connected cross
+    (scipy's default ``structure=None`` → ``generate_binary_structure(2,
+    1)``); pixels unreachable from the border are holes and get filled.
+    Convergence-tested while_loop: typical masks stabilize in a few
+    iterations (the loop exits on the first unchanged pass), but the true
+    worst case is the longest geodesic background path — O(H·W) for
+    serpentine corridors, NOT H+W — so the cap defaults to H·W to never
+    misclassify still-reachable background as holes.
     """
     h, w = mask.shape[-2], mask.shape[-1]
-    max_iters = max_iters or (h + w)
+    max_iters = max_iters or (h * w)
     inv = ~mask
 
     border = jnp.zeros_like(mask)
@@ -76,7 +106,7 @@ def fill_holes(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
 
     def body(state):
         i, flood, _ = state
-        new = dilate(flood) & inv
+        new = dilate(flood, connectivity=1) & inv
         return i + 1, new, jnp.any(new != flood)
 
     _, flood, _ = jax.lax.while_loop(cond, body, (0, seed, jnp.array(True)))
@@ -86,14 +116,19 @@ def fill_holes(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
 def connected_components(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
     """Label 8-connected components of one bool [H, W] mask.
 
-    Returns int32 [H, W]: 0 = background, components carry the (arbitrary
-    but distinct) minimum seed id of their pixels.  Iterated min-propagation.
+    8-connectivity matches the reference's ``skimage.measure.label``
+    default for 2-D input (nn_inference.py:300).  Returns int32 [H, W]:
+    0 = background, components carry the (arbitrary but distinct) minimum
+    seed id of their pixels.  Iterated min-propagation in int32 (exact for
+    any H·W an int32 can index — float32 would collide seed ids above
+    2²⁴ ≈ 4k×4k); early-exits on convergence, capped at the true O(H·W)
+    worst case (a serpentine component's geodesic diameter, not H+W).
     """
     h, w = mask.shape
-    max_iters = max_iters or (h + w)
+    max_iters = max_iters or (h * w)
     seeds = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w) + 1)
     big = jnp.int32(h * w + 2)
-    labels = jnp.where(mask, seeds, big).astype(jnp.float32)
+    labels = jnp.where(mask, seeds, big)
 
     def cond(state):
         i, lab, changed = state
@@ -101,13 +136,13 @@ def connected_components(mask: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
 
     def body(state):
         i, lab, _ = state
-        prop = _pool3x3(-lab, "max") * -1.0  # 3×3 min
+        prop = _pool3x3(lab, "min")
         new = jnp.where(mask, jnp.minimum(lab, prop), lab)
         return i + 1, new, jnp.any(new != lab)
 
     _, labels, _ = jax.lax.while_loop(
         cond, body, (0, labels, jnp.array(True)))
-    return jnp.where(mask, labels.astype(jnp.int32), 0)
+    return jnp.where(mask, labels, 0)
 
 
 def count_components(mask: jnp.ndarray) -> jnp.ndarray:
@@ -159,10 +194,10 @@ def clean_head_masks(
     and connected-component analysis are iterative floods — at 1024×1344 ×
     100 masks that is thousands of sequential passes over 137M pixels, which
     no hardware should do per image.  The same topological operations on the
-    28×28 head mask need ≤56 bounded iterations on 78K pixels and vmap
-    across instances; holes and fragments at sub-cell scale cannot survive
-    the bilinear paste anyway, so cleaning *before* paste preserves the
-    reference's intent at ~1/2000 of the work.
+    28×28 head mask converge in a few early-exit iterations on 78K pixels
+    and vmap across instances; holes and fragments at sub-cell scale cannot
+    survive the bilinear paste anyway, so cleaning *before* paste preserves
+    the reference's intent at ~1/2000 of the work.
 
     probs [N,M,M] float → (cleaned [N,M,M] bool, single_component [N] bool).
     """
