@@ -61,7 +61,26 @@ class Predictor:
         self.mask_postprocess = mask_postprocess
         self.pad_h, self.pad_w = cfg.input.pad_size_test
         self.mesh = mesh
-        if mesh is not None and pure_dp:
+        # ONE jit-wiring block for all three execution modes (the former
+        # three hand-kept copies drifted by construction): the modes differ
+        # only in (a) how params/batches are placed and (b) what wraps _run.
+        # Params ride as a jit ARGUMENT (not trace-time closure constants)
+        # so ``set_params`` swaps weights with no retrace — HPO shares one
+        # compiled predictor across trials (hpo/study.py).  Host canvas:
+        # images are padded (not resized) before transfer, the device
+        # applies the dynamic-scale resample.
+        default_mc = tuple(cfg.input.pad_size_test)
+        jit_kwargs = {}
+        if mesh is not None:
+            from uwcv_tpu.parallel.mesh import batch_sharding, replicate
+
+            self.params = replicate(params, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self.params = params
+            self._batch_sharding = None
+
+        if pure_dp:
             # PURE data parallelism: every op in _run is per-image
             # independent, so shard_map runs the complete single-chip
             # program — fused Pallas pooler included — on each chip's batch
@@ -72,14 +91,9 @@ class Predictor:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            from uwcv_tpu.parallel.mesh import batch_sharding, replicate
-
-            self.params = replicate(params, mesh)
-            self._batch_sharding = batch_sharding(mesh)
             data_spec = P(mesh.axis_names[0])
-            default_mc = tuple(cfg.input.pad_size_test)
 
-            def run_mc(p, im, sc, os, mc=default_mc):
+            def run_fn(p, im, sc, os, mc=default_mc):
                 f = shard_map(
                     lambda p, im, sc, os: self._run(im, sc, os, params=p,
                                                     model_canvas=mc),
@@ -87,43 +101,20 @@ class Predictor:
                     in_specs=(P(), data_spec, data_spec, data_spec),
                     out_specs=data_spec, check_vma=False)
                 return f(p, im, sc, os)
-
-            jit_p = jax.jit(run_mc, static_argnums=(4,))
-            self._jit_p = jit_p
-            self._jit_run = lambda im, sc, os, mc=default_mc: jit_p(
-                self.params, im, sc, os, mc)
-        elif mesh is not None:
-            from uwcv_tpu.parallel.mesh import batch_sharding, replicate
-
-            self.params = replicate(params, mesh)
-            self._batch_sharding = batch_sharding(mesh)
-            default_mc = tuple(cfg.input.pad_size_test)
-            jit_p = jax.jit(
-                lambda p, im, sc, os, mc=default_mc: self._run(
-                    im, sc, os, params=p, model_canvas=mc),
-                in_shardings=(None, self._batch_sharding,
-                              self._batch_sharding, self._batch_sharding),
-                static_argnums=(4,))
-            self._jit_p = jit_p
-            self._jit_run = lambda im, sc, os, mc=default_mc: jit_p(
-                self.params, im, sc, os, mc)
         else:
-            self.params = params
-            self._batch_sharding = None
-            # host canvas: images are padded (not resized) before transfer,
-            # the device applies the dynamic-scale resample. Canvas must fit
-            # raw inputs after the scale-to-fit preclamp below.
-            # Params ride as a jit ARGUMENT (not trace-time closure
-            # constants) so ``set_params`` swaps weights with no retrace —
-            # HPO shares one compiled predictor across trials (hpo/study.py).
-            default_mc = tuple(cfg.input.pad_size_test)
-            jit_p = jax.jit(
-                lambda p, im, sc, os, mc=default_mc: self._run(
-                    im, sc, os, params=p, model_canvas=mc),
-                static_argnums=(4,))
-            self._jit_p = jit_p
-            self._jit_run = lambda im, sc, os, mc=default_mc: jit_p(
-                self.params, im, sc, os, mc)
+            def run_fn(p, im, sc, os, mc=default_mc):
+                return self._run(im, sc, os, params=p, model_canvas=mc)
+
+            if mesh is not None:
+                # dp×sp: let GSPMD partition _run from the arg shardings
+                jit_kwargs["in_shardings"] = (
+                    None, self._batch_sharding, self._batch_sharding,
+                    self._batch_sharding)
+
+        jit_p = jax.jit(run_fn, static_argnums=(4,), **jit_kwargs)
+        self._jit_p = jit_p
+        self._jit_run = lambda im, sc, os, mc=default_mc: jit_p(
+            self.params, im, sc, os, mc)
 
     def set_params(self, params) -> None:
         """Swap weights WITHOUT recompiling — params are a jit argument, so
