@@ -146,6 +146,50 @@ def test_prepare_train_sample_and_loader(tmp_path):
         TrainLoader(dicts, cfg4, process_index=3, process_count=4)
 
 
+def test_loader_prepared_cache_identical_and_budgeted(tmp_path):
+    """The in-RAM prepared-sample cache must be invisible to consumers:
+    hit-path samples byte-identical to cold preparation (augment is
+    on-device, so the prepared sample is deterministic), and the byte
+    budget must bound what gets inserted."""
+    paths = generate_dataset(str(tmp_path), num_train=3, num_test=0,
+                             num_inference=0, image_size=(96, 128))
+    dicts = get_superannotate_dicts(paths["Train"])
+    cfg = Config()
+    cfg.input.train_size = (64, 64)
+    cfg.input.max_gt_instances = 16
+    cfg.solver.ims_per_batch = 2
+
+    loader = TrainLoader(dicts, cfg, seed=0, num_workers=1)
+    cold = [loader._prepared(i) for i in range(3)]     # misses: fill cache
+    assert loader._cache_bytes > 0 and len(loader._cache) == 3
+    hot = [loader._prepared(i) for i in range(3)]      # hits: expand path
+    for c, h in zip(cold, hot):
+        assert set(c) == set(h)
+        for k in c:
+            np.testing.assert_array_equal(np.asarray(c[k]), np.asarray(h[k]))
+
+    # cache off → no inserts
+    cfg_off = Config()
+    cfg_off.input.train_size = (64, 64)
+    cfg_off.input.max_gt_instances = 16
+    cfg_off.solver.ims_per_batch = 2
+    cfg_off.data.cache_prepared = False
+    off = TrainLoader(dicts, cfg_off, seed=0, num_workers=1)
+    off._prepared(0)
+    assert off._cache_bytes == 0 and not off._cache
+
+    # tiny budget → first sample may not fit; bytes never exceed budget
+    cfg_tiny = Config()
+    cfg_tiny.input.train_size = (64, 64)
+    cfg_tiny.input.max_gt_instances = 16
+    cfg_tiny.solver.ims_per_batch = 2
+    cfg_tiny.data.cache_prepared_mb = 0
+    tiny = TrainLoader(dicts, cfg_tiny, seed=0, num_workers=1)
+    s = tiny._prepared(0)
+    assert tiny._cache_bytes == 0 and not tiny._cache
+    np.testing.assert_array_equal(s["image"], cold[0]["image"])
+
+
 def test_loader_process_shards_are_disjoint_and_cover(tmp_path):
     """Multi-host input sharding invariant (SURVEY §2c): processes seeded
     identically draw the SAME epoch permutation, so their order[pid::pcount]

@@ -223,6 +223,19 @@ class DataConfig:
     num_workers: int = 2                          # nn_train.py:199
     prefetch_depth: int = 2
     image_ext: Tuple[str, ...] = (".tif", ".tiff", ".png", ".jpg", ".jpeg")
+    # In-RAM cache of prepared train samples (decoded+resized image +
+    # rasterized GT masks, pre-augment).  Augmentation runs ON DEVICE with a
+    # per-step key (data/augment.py), so the prepared sample is a pure
+    # function of the record — re-decoding and re-rasterizing it every epoch
+    # is wasted host work.  The reference pays this same cost per epoch
+    # through its torch DataLoader (nn_train.py:199 NUM_WORKERS=2), which is
+    # invisible on a many-core host but BINDS training on small hosts: the
+    # r4 quality runs measured 2.7 steps/s end-to-end vs ~10+ steps/s for
+    # the compiled device step on a 1-vCPU bench host (PERF.md r4 train
+    # section).  Masks are cached trimmed to the real instance count and
+    # re-padded at batch time, so a 64-image split costs ~200 MB.
+    cache_prepared: bool = True
+    cache_prepared_mb: int = 2048   # stop inserting past this budget
 
 
 @dataclass

@@ -127,11 +127,41 @@ def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+def _compact_sample(sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Trim the padded mask rows for caching (only ``num_instances`` rows are
+    non-zero; the rest re-pad for free at batch time)."""
+    k = int(sample["num_instances"])
+    out = dict(sample)
+    out["masks_packed"] = np.ascontiguousarray(sample["masks_packed"][:k])
+    return out
+
+
+def _expand_sample(compact: Dict[str, np.ndarray],
+                   n_max: int) -> Dict[str, np.ndarray]:
+    mp = compact["masks_packed"]
+    full = np.zeros((n_max,) + mp.shape[1:], mp.dtype)
+    full[:mp.shape[0]] = mp
+    out = dict(compact)
+    out["masks_packed"] = full
+    return out
+
+
+def _sample_nbytes(sample: Dict[str, np.ndarray]) -> int:
+    return sum(int(np.asarray(v).nbytes) for v in sample.values())
+
+
 class TrainLoader:
     """Infinite shuffled loader with threaded decode workers.
 
     Yields host numpy batches; callers do jax.device_put / sharding (the
     engine owns placement so multi-host sharding stays in one spot).
+
+    When ``cfg.data.cache_prepared`` is on (default), each record's prepared
+    sample (decode → resize → rasterize → pack, all pre-augment and therefore
+    deterministic — augmentation is on-device with a per-step key) is cached
+    in RAM after first preparation, up to ``cfg.data.cache_prepared_mb``.
+    Epoch 2+ then costs only collate + device_put.  See DataConfig for the
+    measured rationale.
     """
 
     def __init__(self, dataset: List[Dict], cfg: Config, seed: int = 0,
@@ -176,6 +206,31 @@ class TrainLoader:
         self._q: "queue.Queue" = queue.Queue(maxsize=cfg.data.prefetch_depth)
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        self._cache_lock = threading.Lock()
+        self._cache_bytes = 0
+        self._cache_budget = (int(cfg.data.cache_prepared_mb) * (1 << 20)
+                              if cfg.data.cache_prepared else 0)
+
+    def _prepared(self, idx: int) -> Dict[str, np.ndarray]:
+        """prepare_train_sample with the optional in-RAM cache."""
+        if self._cache_budget <= 0:
+            return prepare_train_sample(self.dataset[idx], self.cfg)
+        with self._cache_lock:
+            hit = self._cache.get(idx)
+        if hit is not None:
+            return _expand_sample(hit, self.cfg.input.max_gt_instances)
+        sample = prepare_train_sample(self.dataset[idx], self.cfg)
+        compact = _compact_sample(sample)
+        nb = _sample_nbytes(compact)
+        with self._cache_lock:
+            # two workers may race to the same miss: deterministic sample,
+            # insert-once accounting
+            if idx not in self._cache \
+                    and self._cache_bytes + nb <= self._cache_budget:
+                self._cache[idx] = compact
+                self._cache_bytes += nb
+        return sample
 
     def _index_stream(self) -> Iterator[int]:
         while True:
@@ -193,7 +248,7 @@ class TrainLoader:
                 with idx_lock:
                     idxs = [next(idx_stream) for _ in range(self.batch_size)]
                 for i in idxs:
-                    samples.append(prepare_train_sample(self.dataset[i], self.cfg))
+                    samples.append(self._prepared(i))
                 batch = collate(samples)
                 while not self._stop.is_set():
                     try:
