@@ -276,6 +276,53 @@ def test_unit_scale_fast_path_matches_resample(tmp_path):
                                np.asarray(slow[0].boxes), atol=0.1)
 
 
+def test_stage_batch_host_canvas_clamps_to_pad():
+    """Host canvas must clamp to the pad canvas whenever the content fits it
+    (the pad need not be a 128-multiple — default pad_w=1344): an unclamped
+    bucket128 host canvas would mismatch the clamped MODEL canvas on every
+    batch, permanently disabling _run's unit-scale fast path and shipping
+    dead zero columns.  Raw-shipped images LARGER than the pad must keep
+    their bucketed true size (the device resample maps them into the model
+    canvas)."""
+    from uwcv_tpu.config import Config
+    from uwcv_tpu.engine.predictor import Predictor
+    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
+
+    cfg = Config()
+    cfg.model.depth = 26
+    cfg.model.dtype = "float32"
+    cfg.input.pad_size_test = (192, 320)   # NOT 128-multiples
+    cfg.input.test_short_edge = 190
+    cfg.input.test_max_size = 400
+    params = init_params(MaskRCNN(cfg.model), jax.random.key(0),
+                         init_size=64)
+    pred = Predictor(cfg, params)
+
+    # content 190x300 <= pad, but bucket128 -> (256, 384) > pad: both the
+    # host and the model canvas must clamp to the pad and AGREE
+    img = np.zeros((190, 300, 3), np.uint8)
+    (batch, scales, out_sizes, (mch, mcw)), _ = pred.stage_batch([img])
+    assert batch.shape[1:3] == (192, 320)
+    assert (mch, mcw) == (192, 320)
+    assert float(np.asarray(scales)[0]) == 1.0  # fast path eligible
+
+    # raw-shipped oversized image (host_resize off): host canvas keeps the
+    # bucketed TRUE size past the pad; model canvas stays clamped
+    cfg2 = Config()
+    cfg2.model.depth = 26
+    cfg2.model.dtype = "float32"
+    cfg2.input.pad_size_test = (192, 320)
+    cfg2.input.test_short_edge = 190
+    cfg2.input.test_max_size = 400
+    cfg2.input.host_resize = False
+    pred2 = Predictor(cfg2, params)
+    big = np.zeros((400, 600, 3), np.uint8)
+    (batch2, scales2, _, (mch2, mcw2)), _ = pred2.stage_batch([big])
+    assert batch2.shape[1:3] == (512, 640)
+    assert (mch2, mcw2) == (192, 320)
+    assert float(np.asarray(scales2)[0]) < 1.0
+
+
 def test_train_forward_class_rebalance_knobs(tiny_model_and_params):
     """roi/rpn fg class weights + class loss weights: losses stay finite and
     the weighted cls loss actually shifts vs uniform (same rng)."""

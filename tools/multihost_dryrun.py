@@ -152,9 +152,22 @@ def parent() -> int:
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
     outs, ok, losses = [], True, []
+    deadline = time.monotonic() + int(os.environ.get("UWCV_MH_TIMEOUT",
+                                                     "1800"))
     for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=int(os.environ.get(
-            "UWCV_MH_TIMEOUT", "1800")))
+        try:
+            out, _ = p.communicate(
+                timeout=max(1.0, deadline - time.monotonic()))
+        except subprocess.TimeoutExpired:
+            # a stalled child (e.g. coordination-service hang on a contended
+            # host) must not orphan EITHER spinning process on the CI host's
+            # single core — kill the whole set and report the failure
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+            out, _ = p.communicate()
+            out = (out or "") + "\n[parent] TIMEOUT: child killed"
+            ok = False
         outs.append(out)
         ok &= p.returncode == 0
         for line in out.splitlines():

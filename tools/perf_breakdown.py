@@ -16,7 +16,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,11 +43,22 @@ def main() -> None:
 
     cfg, model, params, winfo = prepare_bench_model()
     depth = winfo["depth"]
-    h, w = cfg.input.pad_size_test
     print(f"weights: {winfo['weights']} ({winfo['weights_path']})",
           file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(0)
+    # Stage a representative batch FIRST and run the whole ladder at the
+    # predictor's ADAPTIVE model canvas (stage_batch's 128-bucketed content
+    # size), not the worst-case pad canvas: the final "full predictor" row
+    # runs at the adaptive canvas, and differencing programs at different
+    # pixel counts would understate (even negate) the tail marginal.
+    predictor = Predictor(cfg, params)
+    imgs_u8 = [np.asarray(im, np.uint8) for im in
+               rng.integers(0, 255, (batch, 1024, 1280, 3)).astype(np.uint8)]
+    device_ops, _ = predictor.stage_batch(imgs_u8)
+    h, w = device_ops[3]
+    print(f"model canvas {h}x{w} (adaptive; pad canvas "
+          f"{cfg.input.pad_size_test})", file=sys.stderr, flush=True)
     images = jnp.asarray(rng.integers(
         0, 255, (batch, h, w, 3)).astype(np.float32))
 
@@ -87,20 +97,14 @@ def main() -> None:
         ("+maskhead", full_fn),
     ]
 
+    from uwcv_tpu.utils.experiment import best_time, dispatch_floor
+
     def timeit(fn, n=6):
         jfn = jax.jit(fn)
         np.asarray(jfn(params, images))   # compile + 4-byte sync pull
-        best = float("inf")
-        for _ in range(n):
-            t = time.perf_counter()
-            np.asarray(jfn(params, images))
-            best = min(best, time.perf_counter() - t)
-        return best
+        return best_time(lambda: np.asarray(jfn(params, images)), n)
 
-    # dispatch floor: on remote-attached TPUs every synced call pays a
-    # ~25 ms tunnel round-trip — subtract it or small stages read 25 ms
-    # slower than they are (marginals between stages are already clean)
-    floor = timeit(lambda p, i: jnp.sum(i[0, 0, 0]))
+    floor = dispatch_floor(images)
     print(f"dispatch floor {floor * 1000:.1f} ms (subtracted from cums)",
           file=sys.stderr, flush=True)
 
@@ -116,21 +120,12 @@ def main() -> None:
     # full predictor program, DEVICE-RESIDENT (adds resize + paste +
     # morphology + bitpack; inputs staged once like bench.py's headline
     # mode, so the marginal vs "+maskhead" is the real on-device tail —
-    # VERDICT r3 weak #2 demanded it measured, not estimated)
-    predictor = Predictor(cfg, params)
-    imgs_u8 = [np.asarray(im, np.uint8) for im in
-               rng.integers(0, 255, (batch, 1024, 1280, 3)).astype(np.uint8)]
-    device_ops, _ = predictor.stage_batch(imgs_u8)
+    # VERDICT r3 weak #2 demanded it measured, not estimated).  Same
+    # adaptive canvas as the ladder above (staged once at the top).
     jax.block_until_ready(device_ops[0])
-    out = predictor._jit_run(*device_ops)
-    np.asarray(out[0].scores)
-    best = float("inf")
-    for _ in range(6):
-        t = time.perf_counter()
-        out = predictor._jit_run(*device_ops)
-        np.asarray(out[0].scores)
-        best = min(best, time.perf_counter() - t)
-    best -= floor
+    np.asarray(predictor._jit_run(*device_ops)[0].scores)  # compile
+    best = best_time(lambda: np.asarray(
+        predictor._jit_run(*device_ops)[0].scores), n=6) - floor
     rows.append(("full predictor device-resident (+resize+paste+morph+pack)",
                  best, best - prev))
     print(f"{rows[-1][0]:36s} cum {best * 1000:8.1f} ms   marginal "

@@ -17,7 +17,6 @@ import json
 import os
 import statistics
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -47,15 +46,13 @@ def main() -> int:
     device_ops, _ = predictor.stage_batch([img])
     jax.block_until_ready(device_ops[0])
 
-    # dispatch floor: the tunnel round-trip a synced no-op pays
-    tiny = jax.jit(lambda x: jnp.sum(x[0, 0, 0]))
-    np.asarray(tiny(device_ops[0]))
-    floor = min(_timed(lambda: np.asarray(tiny(device_ops[0])))
-                for _ in range(10))
+    from uwcv_tpu.utils.experiment import dispatch_floor, timed
+
+    floor = dispatch_floor(device_ops[0], n=10)
 
     out = predictor._jit_run(*device_ops)
     np.asarray(out[0].scores)  # compile + first exec
-    samples = [_timed(lambda: np.asarray(
+    samples = [timed(lambda: np.asarray(
         predictor._jit_run(*device_ops)[0].scores)) for _ in range(reps)]
     best, med = min(samples), statistics.median(samples)
     print(json.dumps({
@@ -69,12 +66,6 @@ def main() -> int:
         "median_ms": round((med - floor) * 1e3, 2),
     }))
     return 0
-
-
-def _timed(fn) -> float:
-    t = time.perf_counter()
-    fn()
-    return time.perf_counter() - t
 
 
 if __name__ == "__main__":

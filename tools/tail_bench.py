@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -55,16 +54,14 @@ def main() -> None:
             return jax.vmap(one)(probs, boxes, keep, scores)
         return f
 
+    from uwcv_tpu.utils.experiment import best_time
+
     def timeit(fn, label):
         jfn = jax.jit(fn)
-        out = jfn(probs, boxes, keep, scores)
-        np.asarray(out[0][0, 0, 0, 0])     # sync
-        best = float("inf")
-        for _ in range(4):
-            t = time.perf_counter()
-            out = jfn(probs, boxes, keep, scores)
-            np.asarray(out[0][0, 0, 0, 0])
-            best = min(best, time.perf_counter() - t)
+        np.asarray(jfn(probs, boxes, keep, scores)[0][0, 0, 0, 0])  # compile
+        best = best_time(
+            lambda: np.asarray(jfn(probs, boxes, keep, scores)[0][0, 0, 0, 0]),
+            n=4)
         print(f"{label:24s} {best * 1000:8.1f} ms/batch-{b}", flush=True)
         return best
 

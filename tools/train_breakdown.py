@@ -22,7 +22,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -53,10 +52,7 @@ def main() -> int:
                          image_size=(512, 512), seed=11)
     dicts = get_superannotate_dicts(os.path.join(root, "Train"))
 
-    def _timed(fn) -> float:
-        t = time.perf_counter()
-        fn()
-        return time.perf_counter() - t
+    from uwcv_tpu.utils.experiment import best_time, dispatch_floor, timed
 
     rows = []
     for b in batches:
@@ -73,10 +69,7 @@ def main() -> int:
         loader.stop()
         jax.block_until_ready(batch["image"])
 
-        tiny = jax.jit(lambda x: jnp.sum(x[0, 0, 0]))
-        np.asarray(tiny(batch["image"].astype(jnp.float32)))
-        floor = min(_timed(lambda: np.asarray(
-            tiny(batch["image"].astype(jnp.float32)))) for _ in range(8))
+        floor = dispatch_floor(batch["image"])
 
         # forward-only loss (same in-step augment/unpack work)
         step = make_train_step(trainer.model, cfg, trainer.tx)
@@ -104,8 +97,8 @@ def main() -> int:
         jfwd = jax.jit(fwd_fn)
         rng = jax.random.key(0)
         np.asarray(jfwd(state.params, batch, rng))
-        fwd = min(_timed(lambda: np.asarray(jfwd(state.params, batch, rng)))
-                  for _ in range(6)) - floor
+        fwd = best_time(lambda: np.asarray(jfwd(state.params, batch, rng)),
+                        n=6) - floor
 
         # full step (donated state: rebind each call)
         st = state
@@ -114,7 +107,7 @@ def main() -> int:
             st, metrics = step(st, batch, rng)
             np.asarray(metrics["total_loss"])
         full_once()  # compile
-        full = min(_timed(full_once) for _ in range(6)) - floor
+        full = min(timed(full_once) for _ in range(6)) - floor
 
         row = {"batch": b, "dispatch_floor_ms": round(floor * 1e3, 1),
                "fwd_ms": round(fwd * 1e3, 1),

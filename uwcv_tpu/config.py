@@ -40,30 +40,44 @@ class ModelConfig:
     anchor_stride_levels: Tuple[int, ...] = (4, 8, 16, 32, 64)  # P2..P6
 
     # RPN
-    rpn_pre_nms_topk_train: int = 2000    # per level
-    rpn_pre_nms_topk_test: int = 1000
-    rpn_post_nms_topk_train: int = 1000
+    rpn_pre_nms_topk_train: int = field(
+        default=2000, metadata={"scope": "train"})    # per level
+    rpn_pre_nms_topk_test: int = field(
+        default=1000, metadata={"scope": "runtime"})
+    rpn_post_nms_topk_train: int = field(
+        default=1000, metadata={"scope": "train"})
     # Detectron2's zoo default is 1000 (what the reference inherits
     # untuned); this workload's micrographs carry tens of instances, and
     # 300 measures mAP-NEUTRAL on the held-out split (segm 0.6034 vs
     # 0.6022 at 1000, tools/topk_ab.py) while cutting the box stage's
     # pooler-DMA + head cost ~linearly: 110.4 → 123.6 img/s @32 on chip
     # (PERF.md r4).  Set 1000 to mirror Detectron2 exactly.
-    rpn_post_nms_topk_test: int = 300
+    rpn_post_nms_topk_test: int = field(
+        default=300, metadata={"scope": "runtime"})
     rpn_nms_thresh: float = 0.7
-    rpn_batch_size_per_image: int = 256
-    rpn_positive_fraction: float = 0.5
-    rpn_fg_iou_thresh: float = 0.7
-    rpn_bg_iou_thresh: float = 0.3
+    rpn_batch_size_per_image: int = field(
+        default=256, metadata={"scope": "train"})
+    rpn_positive_fraction: float = field(
+        default=0.5, metadata={"scope": "train"})
+    rpn_fg_iou_thresh: float = field(
+        default=0.7, metadata={"scope": "train"})
+    rpn_bg_iou_thresh: float = field(
+        default=0.3, metadata={"scope": "train"})
     rpn_bbox_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
-    rpn_smooth_l1_beta: float = 0.0       # pure L1, Detectron2 default
+    rpn_smooth_l1_beta: float = field(
+        default=0.0, metadata={"scope": "train"})       # pure L1, Detectron2 default
 
     # ROI heads
-    roi_batch_size_per_image: int = 32    # nn_train.py:205
-    roi_positive_fraction: float = 0.25
-    roi_fg_iou_thresh: float = 0.5
-    roi_score_thresh_test: float = 0.80   # nn_inference.py:226 (0.45 in backup_main.py:247)
-    roi_nms_thresh_test: float = 0.5
+    roi_batch_size_per_image: int = field(
+        default=32, metadata={"scope": "train"})    # nn_train.py:205
+    roi_positive_fraction: float = field(
+        default=0.25, metadata={"scope": "train"})
+    roi_fg_iou_thresh: float = field(
+        default=0.5, metadata={"scope": "train"})
+    roi_score_thresh_test: float = field(
+        default=0.80, metadata={"scope": "runtime"})   # nn_inference.py:226 (0.45 in backup_main.py:247)
+    roi_nms_thresh_test: float = field(
+        default=0.5, metadata={"scope": "runtime"})
     # Static output-slot cap after per-class NMS.  Detectron2's default is
     # 100 (what the reference inherits untuned); every downstream stage —
     # mask head, paste, overlap removal, bit-pack — carries [B, D, ...]
@@ -73,12 +87,14 @@ class ModelConfig:
     # 124.6 → 143.4 img/s @32 device-resident on chip (+15%; 32 reaches
     # 150.9 but leaves less headroom for denser scenes — PERF.md r4).
     # Set 100 to mirror Detectron2 exactly.
-    detections_per_image: int = 50
+    detections_per_image: int = field(
+        default=50, metadata={"scope": "runtime"})
     # NMS candidate cap before the greedy loop: the R×C score matrix has
     # rpn_post_nms_topk·num_classes entries (4000 for the reference config);
     # only the top few hundred can survive, so a top_k prefilter bounds the
     # sequential suppression depth without changing results.
-    nms_candidates_test: int = 1024
+    nms_candidates_test: int = field(
+        default=1024, metadata={"scope": "runtime"})
     roi_bbox_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     # --- class-rebalance knobs (rare-class fix; QUALITY.md scale-bar root
     # cause).  The reference's uniform sampling + unweighted losses starve
@@ -87,21 +103,25 @@ class ModelConfig:
     # All default OFF (empty tuple = exact Detectron2 semantics).
     # Per-class relative weights for the ROI-head foreground subsample
     # (Gumbel-top-k weighted sampling without replacement, ops/matcher.py).
-    roi_fg_class_weights: Tuple[float, ...] = ()
+    roi_fg_class_weights: Tuple[float, ...] = field(
+        default=(), metadata={"scope": "train"})
     # Same for the RPN positive-anchor subsample (anchors matched to a gt of
     # class c draw with weight w[c]; class-agnostic objectness still,
     # only the SAMPLING is rebalanced).
-    rpn_fg_class_weights: Tuple[float, ...] = ()
+    rpn_fg_class_weights: Tuple[float, ...] = field(
+        default=(), metadata={"scope": "train"})
     # Per-class weights for the box-head softmax CE (background fixed at
     # 1.0), torch CrossEntropyLoss(weight=...) semantics: weighted mean =
     # sum(w·ce)/sum(w).  Also scales the fg box-regression and mask BCE
     # terms per-roi.
-    class_loss_weights: Tuple[float, ...] = ()
+    class_loss_weights: Tuple[float, ...] = field(
+        default=(), metadata={"scope": "train"})
     # fused Pallas pooler kernel for inference (TPU only; the vmapped XLA
     # pooler is the fallback). Sharded (multi-chip mesh) predictors switch
     # this off: pallas_call has no SPMD partitioning rule, so XLA would
     # gather the sharded feature maps onto every chip.
-    pooler_pallas: bool = True
+    pooler_pallas: bool = field(
+        default=True, metadata={"scope": "runtime"})
     pooler_resolution_box: int = 7
     pooler_resolution_mask: int = 14
     # RoIAlign window (cells) cut around each roi on its assigned FPN level
@@ -112,7 +132,8 @@ class ModelConfig:
     # of bumping elongated rois with extent in (26,30] cells one level
     # earlier.  NOTE: the oversized-roi ceiling is (window-2)*64 px — keep
     # test_max_size below it (see input.test_max_size).
-    pooler_window: int = 32
+    pooler_window: int = field(
+        default=32, metadata={"scope": "runtime"})
     # compute the 7×7/2 stem conv as explicit im2col + one [147,64] matmul
     # (models/resnet.py StemConv).  MEASURED NEGATIVE on chip (PERF.md r4):
     # the 49-slice concat relayout costs far more than the thin-channel conv
@@ -120,7 +141,8 @@ class ModelConfig:
     # MLPerf space-to-depth attempt — this XLA/libtpu handles the 3-channel
     # stem better than any explicit re-expression.  Kept as an exact,
     # tested option (test_backbone.py) for other XLA versions; default OFF.
-    stem_im2col: bool = False
+    stem_im2col: bool = field(
+        default=False, metadata={"scope": "runtime"})
     mask_head_resolution: int = 28        # deconv output
     # canonical FPN level assignment (FPN paper eq. 1)
     canonical_box_size: float = 224.0
@@ -129,6 +151,28 @@ class ModelConfig:
     @property
     def num_anchors_per_cell(self) -> int:
         return len(self.anchor_aspect_ratios)
+
+
+def model_fields_by_scope(scope: str) -> frozenset:
+    """Names of ModelConfig fields tagged ``metadata={"scope": <scope>}`` —
+    the single source for two derived classifications that used to be
+    hand-maintained literal sets (and could silently go stale when a knob
+    was added):
+
+    - ``"train"``: train-only knobs that do NOT affect the inference graph
+      or the parameter tree.  hpo/study.py shares ONE compiled predictor
+      across trials that vary only these.
+    - ``"runtime"``: inference-time execution/budget knobs that do NOT
+      define params.  Checkpoint-config adoption
+      (engine/predictor.py::adopt_checkpoint_model_cfg) never imports them,
+      so a checkpoint saved before a budget was workload-tuned cannot undo
+      the tuned default.
+
+    Untagged fields define the params/graph (depth, anchors, head dims...)
+    and are excluded from both sets.  When adding a ModelConfig knob, tag
+    it here once — both consumers update automatically."""
+    return frozenset(f.name for f in dataclasses.fields(ModelConfig)
+                     if f.metadata.get("scope") == scope)
 
 
 @dataclass

@@ -132,7 +132,11 @@ def _compact_sample(sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     non-zero; the rest re-pad for free at batch time)."""
     k = int(sample["num_instances"])
     out = dict(sample)
-    out["masks_packed"] = np.ascontiguousarray(sample["masks_packed"][:k])
+    # .copy(), NOT ascontiguousarray: a leading slice of a C-contiguous
+    # array is already contiguous, so ascontiguousarray returns a VIEW that
+    # keeps the full [n_max, H, W/8] buffer alive — the cache would retain
+    # n_max/k more RAM than _cache_bytes accounts for
+    out["masks_packed"] = sample["masks_packed"][:k].copy()
     return out
 
 

@@ -322,7 +322,22 @@ class Predictor:
         # unchanged, so results are identical)
         from uwcv_tpu.utils.image import bucket128
 
+        raw_h, raw_w = ch, cw
         ch, cw = bucket128(ch), bucket128(cw)
+        # Clamp to the pad canvas whenever the CONTENT already fits it
+        # (host_resize outputs always do, by _prepare's scale clamp): the
+        # model canvas below is clamped the same way, and since the pad dims
+        # need not be 128-multiples (default pad_w=1344), a host canvas
+        # bucketed PAST the pad would mismatch the model canvas on every
+        # batch — permanently disabling _run's unit-scale fast path and
+        # shipping dead zero columns over the link.  Raw-shipped images
+        # LARGER than the pad keep their bucketed true size (the device
+        # resample maps them into the model canvas; the fast path can't
+        # apply there anyway because scale < 1).
+        if raw_h <= self.pad_h:
+            ch = min(ch, self.pad_h)
+        if raw_w <= self.pad_w:
+            cw = min(cw, self.pad_w)
         batch = np.stack([pad_to_canvas(p[0], ch, cw) for p in prepped])
         if (self.cfg.input.grayscale_transfer and batch.shape[-1] == 3
                 and all(np.array_equal(p[0][..., 0], p[0][..., 1])
@@ -469,12 +484,12 @@ def load_predictor(cfg: Config, weights: Optional[str] = None) -> Predictor:
 # must not silently undo today's measured-mAP-neutral 300 (PERF.md r4).
 # Explicit caller overrides of any of them still win, like every other
 # non-default caller field.
-_RUNTIME_MODEL_FIELDS = frozenset({
-    "rpn_pre_nms_topk_test", "rpn_post_nms_topk_test",
-    "roi_score_thresh_test", "roi_nms_thresh_test",
-    "detections_per_image", "nms_candidates_test",
-    "pooler_pallas", "pooler_window", "stem_im2col",
-})
+# derived from ModelConfig field metadata (config.py::model_fields_by_scope)
+# so adding a runtime knob is a one-spot change — the literal-set version
+# went stale twice in round 4 before c1b0dfc
+from uwcv_tpu.config import model_fields_by_scope as _scope_fields
+
+_RUNTIME_MODEL_FIELDS = _scope_fields("runtime")
 
 
 def adopt_checkpoint_model_cfg(cfg: Config, ckpt_dir: str) -> bool:

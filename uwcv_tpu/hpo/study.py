@@ -313,14 +313,11 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
     # those share one compiled predictor via set_params; any searched knob
     # that DOES alter the graph (anchors, score thresholds, detections cap)
     # changes the key automatically — no hand-picked field list to go stale.
-    _train_only = frozenset({
-        "roi_batch_size_per_image", "roi_positive_fraction",
-        "roi_fg_iou_thresh", "rpn_batch_size_per_image",
-        "rpn_positive_fraction", "rpn_fg_iou_thresh", "rpn_bg_iou_thresh",
-        "rpn_pre_nms_topk_train", "rpn_post_nms_topk_train",
-        "rpn_smooth_l1_beta", "roi_fg_class_weights",
-        "rpn_fg_class_weights", "class_loss_weights",
-    })
+    # derived from ModelConfig field metadata (config.py) — one tag per
+    # knob instead of a second hand-maintained list that can go stale
+    from uwcv_tpu.config import model_fields_by_scope
+
+    _train_only = model_fields_by_scope("train")
     predictor_cache: Dict[tuple, Any] = {}
     cache_lock = threading.Lock()
 

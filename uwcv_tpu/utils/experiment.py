@@ -97,3 +97,44 @@ def prepare_bench_model(
     else:
         info["weights"] = "random"
     return cfg, model, params, info
+
+
+# ---------------------------------------------------------------------------
+# Shared measurement harness (bench.py + tools/*).
+#
+# One timing convention for every probe in the repo: a call is "done" only
+# when >= 4 bytes of its result have been pulled to host (the axon plugin's
+# block_until_ready returns before execution finishes — naive timing reads
+# dispatch-only, ~1000x too fast; PERF.md), min-of-N against shared-host
+# noise, and the per-dispatch tunnel round-trip (~26 ms) measured and
+# subtracted for small programs.  Previously four tools carried drifting
+# copies of this plumbing.
+
+
+def timed(fn) -> float:
+    """Wall seconds for one call of ``fn``.  ``fn`` must BLOCK on real
+    completion — on the axon platform that means pulling a scalar to host
+    (``np.asarray(out_scalar)``), not ``block_until_ready``."""
+    import time
+
+    t = time.perf_counter()
+    fn()
+    return time.perf_counter() - t
+
+
+def best_time(fn, n: int = 6) -> float:
+    """min-of-n ``timed`` calls (shared-terminal noise is 2-3x, PERF.md)."""
+    return min(timed(fn) for _ in range(n))
+
+
+def dispatch_floor(example, n: int = 8) -> float:
+    """Best wall time of a jitted 4-byte scalar pull on ``example`` — the
+    round-trip every synced call pays through the tunnel; subtract it from
+    small-program timings (marginals between programs are already clean)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    tiny = jax.jit(lambda x: jnp.sum(x.reshape(-1)[:1].astype(jnp.float32)))
+    np.asarray(tiny(example))  # compile
+    return best_time(lambda: np.asarray(tiny(example)), n)
