@@ -190,6 +190,47 @@ def test_loader_prepared_cache_identical_and_budgeted(tmp_path):
     np.testing.assert_array_equal(s["image"], cold[0]["image"])
 
 
+def test_loader_auto_gt_cap_tightens_static_shapes(tmp_path):
+    """auto_gt_cap (default on) must shrink the padded GT dimension to the
+    dataset's observed max annotation count rounded to 8 (capped by the
+    config cap) — identical instances, smaller [B, N, ...] arrays (less
+    H2D and matcher traffic).  auto_gt_cap=False keeps the config cap."""
+    paths = generate_dataset(str(tmp_path), num_train=3, num_test=0,
+                             num_inference=0, image_size=(96, 128))
+    dicts = get_superannotate_dicts(paths["Train"])
+    observed = max(len(r["annotations"]) for r in dicts)
+    expected = min(100, max(8, -(-observed // 8) * 8))
+    assert expected < 100  # synthetic fixtures carry a handful of instances
+
+    cfg = Config()
+    cfg.input.train_size = (64, 64)
+    cfg.solver.ims_per_batch = 2
+    loader = TrainLoader(dicts, cfg, seed=0, num_workers=1).start()
+    batch = next(iter(loader))
+    loader.stop()
+    assert loader.n_max == expected
+    assert batch["boxes"].shape == (2, expected, 4)
+    assert batch["masks_packed"].shape == (2, expected, 64, 8)
+
+    cfg_off = Config()
+    cfg_off.input.train_size = (64, 64)
+    cfg_off.input.auto_gt_cap = False
+    cfg_off.solver.ims_per_batch = 2
+    off = TrainLoader(dicts, cfg_off, seed=0, num_workers=1).start()
+    batch_off = next(iter(off))
+    off.stop()
+    assert batch_off["boxes"].shape == (2, 100, 4)
+
+    # same instances either way (order within a sample is deterministic)
+    s_on = loader._prepared(0)
+    s_off = off._prepared(0)
+    k = int(s_on["num_instances"])
+    assert k == int(s_off["num_instances"])
+    np.testing.assert_array_equal(s_on["boxes"][:k], s_off["boxes"][:k])
+    np.testing.assert_array_equal(s_on["masks_packed"][:k],
+                                  s_off["masks_packed"][:k])
+
+
 def test_loader_process_shards_are_disjoint_and_cover(tmp_path):
     """Multi-host input sharding invariant (SURVEY §2c): processes seeded
     identically draw the SAME epoch permutation, so their order[pid::pcount]

@@ -224,6 +224,18 @@ class InputConfig:
     vflip_prob: float = 0.4                        # RandomFlip(prob=0.4, vertical)
     # per-image padded ground-truth capacity (static shape)
     max_gt_instances: int = 100
+    # Tighten the static GT dimension to the DATASET's observed maximum
+    # instance count (rounded up to a multiple of 8, capped by
+    # max_gt_instances) — the static-shape analog of torch's dynamic
+    # per-image instance lists.  Every [B, N_gt, ...] cost scales with the
+    # padding: packed GT masks are 80 KB/instance/image at 800² over the
+    # host→device link, and the anchor-matcher's IoU/assignment tensors are
+    # [~250k anchors, N_gt] in HBM.  This workload carries 10-16 instances
+    # — N=100 padding is ~6× wasted transfer and matcher traffic.  One scan
+    # of annotation counts at loader init; identical results (the padded
+    # rows were all-invalid).  Set False to compile at max_gt_instances
+    # exactly (e.g. to pre-compile a serving-side cap).
+    auto_gt_cap: bool = True
 
 
 @dataclass

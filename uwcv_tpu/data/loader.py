@@ -67,7 +67,8 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         dtype=np.uint8)
 
 
-def prepare_train_sample(record: Dict, cfg: Config) -> Dict[str, np.ndarray]:
+def prepare_train_sample(record: Dict, cfg: Config,
+                         n_max: Optional[int] = None) -> Dict[str, np.ndarray]:
     """One dataset dict → fixed-shape numpy sample at train resolution.
 
     Mirrors the reference's Resize((800,800)) + annotation transform
@@ -75,6 +76,9 @@ def prepare_train_sample(record: Dict, cfg: Config) -> Dict[str, np.ndarray]:
     polygons are scaled by (out/in) per axis, masks rasterized at the output
     resolution.  Empty-after-transform instances are dropped
     (filter_empty_instances, nn_train.py:154).
+
+    ``n_max`` overrides the padded GT capacity (TrainLoader passes its
+    dataset-tightened cap — see InputConfig.auto_gt_cap).
     """
     s_h, s_w = cfg.input.train_size
     img = load_image_rgb(record["file_name"])
@@ -82,7 +86,7 @@ def prepare_train_sample(record: Dict, cfg: Config) -> Dict[str, np.ndarray]:
     img = resize_image(img, s_h, s_w)
     sx, sy = s_w / in_w, s_h / in_h
 
-    n_max = cfg.input.max_gt_instances
+    n_max = n_max if n_max is not None else cfg.input.max_gt_instances
     boxes = np.zeros((n_max, 4), np.float32)
     classes = np.zeros((n_max,), np.int32)
     valid = np.zeros((n_max,), bool)
@@ -206,6 +210,16 @@ class TrainLoader:
         # __iter__ on an empty queue with no error
         self.num_workers = max(1, num_workers if num_workers is not None
                                else cfg.data.num_workers)
+        # dataset-tightened static GT capacity (InputConfig.auto_gt_cap):
+        # observed max annotation count, rounded to 8, capped by the config
+        # cap.  Annotation count is an upper bound on post-transform valid
+        # instances (empty-after-transform ones are dropped), so no record
+        # loses instances vs the config cap.  All multi-host processes scan
+        # the same dataset → identical cap → identical compiled shapes.
+        self.n_max = cfg.input.max_gt_instances
+        if cfg.input.auto_gt_cap:
+            observed = max(len(r.get("annotations", [])) for r in dataset)
+            self.n_max = min(self.n_max, max(8, -(-observed // 8) * 8))
         self.rng = np.random.default_rng(seed)
         self._q: "queue.Queue" = queue.Queue(maxsize=cfg.data.prefetch_depth)
         self._stop = threading.Event()
@@ -219,12 +233,14 @@ class TrainLoader:
     def _prepared(self, idx: int) -> Dict[str, np.ndarray]:
         """prepare_train_sample with the optional in-RAM cache."""
         if self._cache_budget <= 0:
-            return prepare_train_sample(self.dataset[idx], self.cfg)
+            return prepare_train_sample(self.dataset[idx], self.cfg,
+                                        n_max=self.n_max)
         with self._cache_lock:
             hit = self._cache.get(idx)
         if hit is not None:
-            return _expand_sample(hit, self.cfg.input.max_gt_instances)
-        sample = prepare_train_sample(self.dataset[idx], self.cfg)
+            return _expand_sample(hit, self.n_max)
+        sample = prepare_train_sample(self.dataset[idx], self.cfg,
+                                      n_max=self.n_max)
         compact = _compact_sample(sample)
         nb = _sample_nbytes(compact)
         with self._cache_lock:
