@@ -100,6 +100,19 @@ def main() -> int:
         fwd = best_time(lambda: np.asarray(jfwd(state.params, batch, rng)),
                         n=6) - floor
 
+        # step FLOPs from XLA's cost model → train MFU at the v5e bf16 peak
+        # (197 TFLOP/s); same convention as bench.py's inference MFU.
+        # Lower BEFORE executing: the step donates the state argument, and
+        # lowering a donated-then-deleted buffer raises.
+        tflops = None
+        try:
+            ca = (step.lower(state, batch, rng).compile().cost_analysis()
+                  or {})
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            tflops = float(ca.get("flops", 0.0)) / 1e12 or None
+        except Exception:
+            pass
+
         # full step (donated state: rebind each call)
         st = state
         def full_once():
@@ -115,6 +128,10 @@ def main() -> int:
                "bwd_update_ms": round((full - fwd) * 1e3, 1),
                "steps_per_s": round(1.0 / (full + floor), 2),
                "img_per_s": round(b / (full + floor), 2)}
+        if tflops:
+            row["step_tflop"] = round(tflops, 2)
+            row["train_mfu_pct"] = round(100.0 * tflops / max(full, 1e-9)
+                                         / 197.0, 1)
         rows.append(row)
         print(json.dumps(row), flush=True)
         del state, st, step, jfwd
