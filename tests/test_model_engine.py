@@ -323,6 +323,54 @@ def test_stage_batch_host_canvas_clamps_to_pad():
     assert float(np.asarray(scales2)[0]) < 1.0
 
 
+def test_canvas_bucket_knob():
+    """input.canvas_bucket (default 128) shrinks the adaptive host+model
+    canvas toward the true content size: at bucket 64 the reference's
+    800×1000 resized content runs at 832×1024 instead of 896×1024 (~7%
+    fewer trunk/RPN/paste pixels, PERF.md r4).  Geometry must follow the
+    knob, a bucket-64 program must run end-to-end, and invalid buckets
+    (not a multiple of size_divisibility) must be rejected at
+    construction."""
+    import pytest
+
+    from uwcv_tpu.config import Config
+    from uwcv_tpu.engine.predictor import Predictor
+    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
+
+    def mk(bucket):
+        cfg = Config()
+        cfg.model.depth = 26
+        cfg.model.dtype = "float32"
+        cfg.input.pad_size_test = (256, 384)
+        cfg.input.test_short_edge = 150
+        cfg.input.test_max_size = 400
+        cfg.input.canvas_bucket = bucket
+        return cfg
+
+    params = init_params(MaskRCNN(mk(128).model), jax.random.key(0),
+                         init_size=64)
+    img = np.random.default_rng(0).integers(
+        0, 255, (150, 200, 3)).astype(np.uint8)
+
+    # 150×200 content: bucket128 → (256, 256), bucket64 → tight (192, 256)
+    pred128 = Predictor(mk(128), params)
+    (batch, _, _, (mch, mcw)), _ = pred128.stage_batch([img])
+    assert (mch, mcw) == (256, 256)
+    assert batch.shape[1:3] == (256, 256)
+
+    pred64 = Predictor(mk(64), params)
+    (batch64, _, _, canvas64), _ = pred64.stage_batch([img])
+    assert canvas64 == (192, 256)
+    assert batch64.shape[1:3] == (192, 256)
+
+    # the bucket-64 program runs end-to-end and yields well-formed results
+    inst = pred64(img)
+    assert inst.boxes.shape[-1] == 4
+
+    with pytest.raises(ValueError, match="canvas_bucket"):
+        Predictor(mk(48), params)   # not a multiple of size_divisibility=32
+
+
 def test_train_forward_class_rebalance_knobs(tiny_model_and_params):
     """roi/rpn fg class weights + class loss weights: losses stay finite and
     the weighted cls loss actually shifts vs uniform (same rng)."""

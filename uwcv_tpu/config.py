@@ -206,6 +206,16 @@ class InputConfig:
     pad_size_train: Tuple[int, int] = (800, 800)
     pad_size_test: Tuple[int, int] = (1024, 1344)
     size_divisibility: int = 32
+    # Adaptive-canvas bucket (px): host canvases and the per-batch model
+    # canvas round up to multiples of this, so a folder of drifting image
+    # sizes compiles O(few) programs.  Smaller buckets run the trunk/RPN/
+    # paste closer to the true content size (64 saves ~7% of canvas pixels
+    # on the reference's 1024×1280→800×1000 workload: 832×1024 vs 896×1024)
+    # at the cost of more distinct compiled programs per folder; must be a
+    # multiple of size_divisibility (p6 is stride 64, and buckets of 64+
+    # keep every FPN level's halving exact).  Results are canvas-invariant
+    # (detections are produced in content coordinates; pad region masked).
+    canvas_bucket: int = 128
     # augmentation knobs (nn_train.py:136-144)
     brightness_range: Tuple[float, float] = (0.8, 1.8)
     contrast_range: Tuple[float, float] = (0.6, 1.3)

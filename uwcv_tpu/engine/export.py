@@ -41,13 +41,14 @@ def export_predictor(predictor, path: str, batch_size: int = 8,
                      platforms: Optional[Tuple[str, ...]] = None) -> str:
     """Serialize ``predictor``'s device program (weights baked in) to
     ``path``.  ``canvas`` is the static host-ship image size — default:
-    the test pad canvas rounded up to the 128-multiple bucket the host
-    padding uses."""
-    from uwcv_tpu.utils.image import bucket128
+    the test pad canvas rounded up to the input.canvas_bucket multiple the
+    host padding uses."""
+    from uwcv_tpu.utils.image import bucket_up
 
     _register_pytrees()
+    bkt = predictor.cfg.input.canvas_bucket
     ch, cw = canvas or predictor.cfg.input.pad_size_test
-    ch, cw = bucket128(ch), bucket128(cw)
+    ch, cw = bucket_up(ch, bkt), bucket_up(cw, bkt)
     args = (
         jax.ShapeDtypeStruct((batch_size, ch, cw, 3), jnp.uint8),
         jax.ShapeDtypeStruct((batch_size,), jnp.float32),

@@ -45,6 +45,11 @@ class Predictor:
         change; the batch size must then be a multiple of the data-axis
         size.  Default: single-chip."""
         self.cfg = cfg
+        bkt = cfg.input.canvas_bucket
+        if bkt <= 0 or bkt % cfg.input.size_divisibility:
+            raise ValueError(
+                f"input.canvas_bucket must be a positive multiple of "
+                f"size_divisibility={cfg.input.size_divisibility}, got {bkt}")
         model_cfg = cfg.model
         pure_dp = (mesh is not None and mesh.devices.size > 1
                    and mesh.shape[mesh.axis_names[1]] == 1)
@@ -316,14 +321,15 @@ class Predictor:
         prepped = [self._prepare(im) for im in images_rgb]
         ch = max(p[0].shape[0] for p in prepped)
         cw = max(p[0].shape[1] for p in prepped)
-        # bucket host canvases to multiples of 128 so folders with drifting
-        # image sizes compile O(few) programs instead of one per distinct
-        # max-size (extra canvas is zeros; per-image scale/out_size are
-        # unchanged, so results are identical)
-        from uwcv_tpu.utils.image import bucket128
+        # bucket host canvases (input.canvas_bucket, default 128) so folders
+        # with drifting image sizes compile O(few) programs instead of one
+        # per distinct max-size (extra canvas is zeros; per-image
+        # scale/out_size are unchanged, so results are identical)
+        from uwcv_tpu.utils.image import bucket_up
 
+        bkt = self.cfg.input.canvas_bucket
         raw_h, raw_w = ch, cw
-        ch, cw = bucket128(ch), bucket128(cw)
+        ch, cw = bucket_up(ch, bkt), bucket_up(cw, bkt)
         # Clamp to the pad canvas whenever the CONTENT already fits it
         # (host_resize outputs always do, by _prepare's scale clamp): the
         # model canvas below is clamped the same way, and since the pad dims
@@ -355,13 +361,13 @@ class Predictor:
             put = lambda x: jax.device_put(x, self._batch_sharding)
         else:
             put = jnp.asarray
-        # model canvas = 128-bucketed max RESIZED extent of the batch: the
+        # model canvas = bucketed max RESIZED extent of the batch: the
         # trunk/RPN/paste run at the content size, not the worst-case pad
         # canvas (38% fewer pixels for the reference's 1024×1280 inputs —
         # see _run's model_canvas doc); never exceeds the config pad canvas
         # (scales are pre-clamped to fit it in _prepare)
-        mch = min(bucket128(int(out_sizes[:, 0].max())), self.pad_h)
-        mcw = min(bucket128(int(out_sizes[:, 1].max())), self.pad_w)
+        mch = min(bucket_up(int(out_sizes[:, 0].max()), bkt), self.pad_h)
+        mcw = min(bucket_up(int(out_sizes[:, 1].max()), bkt), self.pad_w)
         return ((put(batch), put(scales), put(out_sizes), (mch, mcw)),
                 ([p[2] for p in prepped], [p[3] for p in prepped]))
 

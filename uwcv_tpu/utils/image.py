@@ -60,10 +60,15 @@ def device_resize(
     )
 
 
-def bucket128(v: int) -> int:
-    """Round up to the 128-multiple host-canvas bucket.
+def bucket_up(v: int, bucket: int) -> int:
+    """Round ``v`` up to the next multiple of ``bucket``.
 
-    One definition shared by Predictor.predict_batch_device and
-    engine/export.py — an exported artifact's canvas must keep matching the
-    live host bucketing or from_exported fails on wide images."""
-    return -(-v // 128) * 128
+    One definition shared by Predictor.stage_batch and engine/export.py —
+    an exported artifact's canvas must keep matching the live host
+    bucketing or from_exported fails on wide images."""
+    return -(-v // bucket) * bucket
+
+
+def bucket128(v: int) -> int:
+    """Round up to the default 128-multiple host-canvas bucket."""
+    return bucket_up(v, 128)
