@@ -59,6 +59,7 @@ RESULT = {
 }
 _emit_lock = threading.Lock()
 _emitted = False
+_INIT_DONE = threading.Event()   # set once jax.devices() answers
 
 
 def log(msg: str) -> None:
@@ -118,6 +119,10 @@ def _measure() -> None:
     RESULT["status"] = "importing"
     _probe_and_guard_cache()
     log(f"platform: {jax.devices()}")
+    # device init answered — disarm the init-stall watchdog (slow COMPILES
+    # after this point deserve patience, e.g. CPU-backend runs on a 1-core
+    # host; the indefinite hang this guards against is axon tunnel init)
+    _INIT_DONE.set()
 
     from uwcv_tpu.engine.predictor import Predictor
 
@@ -385,6 +390,15 @@ def main() -> None:
     signal.signal(signal.SIGINT, _on_signal)
     budget = float(os.environ.get("UWCV_BENCH_BUDGET_S", "0"))
     deadline = time.perf_counter() + budget if budget > 0 else None
+    # Init-stall watchdog: a down axon tunnel hangs jax.devices()
+    # indefinitely (observed: probe stuck >240 s, no exception) — without
+    # this, an unattended bench run would never print its JSON line.  The
+    # guard disarms the moment device init answers (_INIT_DONE), so slow
+    # compiles — CPU-backend runs take >30 min on a 1-core host — are
+    # never cut short.  Disable with UWCV_BENCH_INIT_BUDGET_S=0.
+    init_budget = float(os.environ.get("UWCV_BENCH_INIT_BUDGET_S", "1800"))
+    init_deadline = (time.perf_counter() + init_budget
+                     if init_budget > 0 else None)
 
     worker = threading.Thread(target=_worker, daemon=True)
     worker.start()
@@ -393,6 +407,12 @@ def main() -> None:
         if deadline is not None and time.perf_counter() > deadline:
             RESULT["status"] = (f"budget {budget}s exceeded during: "
                                 f"{RESULT.get('status')}")
+            emit_and_exit(0)
+        if (init_deadline is not None and not _INIT_DONE.is_set()
+                and time.perf_counter() > init_deadline):
+            RESULT["status"] = (
+                f"device init stalled for {init_budget:.0f}s (tunnel "
+                f"down?) during: {RESULT.get('status')}")
             emit_and_exit(0)
     emit_and_exit(0)
 
