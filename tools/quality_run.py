@@ -120,6 +120,15 @@ def main() -> int:
         cfg.model.rpn_fg_class_weights = RPN_CLS_W
     if LOSS_CLS_W:
         cfg.model.class_loss_weights = LOSS_CLS_W
+    # generic dotted overrides (';'-separated), applied LAST so any knob —
+    # e.g. input.rotation_prob for the HPO-v2 recipe — is reachable without
+    # dedicated env plumbing (same convention as UWCV_BENCH_OVERRIDES /
+    # UWCV_AB_OVERRIDES)
+    q_ov = os.environ.get("UWCV_Q_OVERRIDES")
+    if q_ov:
+        ov_list = [s for s in q_ov.split(";") if s]
+        cfg.apply(ov_list)
+        log(f"applied UWCV_Q_OVERRIDES: {ov_list}")
 
     # ---- train ----
     trainer = Trainer(cfg)
@@ -183,6 +192,8 @@ def main() -> int:
             "rpn_fg_class_weights": list(cfg.model.rpn_fg_class_weights),
             "class_loss_weights": list(cfg.model.class_loss_weights),
             "anchor_aspect_ratios": list(cfg.model.anchor_aspect_ratios),
+            "rotation_prob": cfg.input.rotation_prob,
+            "overrides": os.environ.get("UWCV_Q_OVERRIDES", ""),
             "train_images": len(train_dicts), "test_images": len(test_dicts),
             "image_size": 512, "train_input": list(cfg.input.train_size),
             "eval_score_thresh": SCORE_THRESH_EVAL,
