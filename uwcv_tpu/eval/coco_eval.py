@@ -317,10 +317,19 @@ def evaluate_dataset(
 
 def evaluate_split(cfg, dicts, predictor=None, params=None,
                    iou_types: Sequence[str] = ("bbox", "segm"),
-                   max_images: Optional[int] = None) -> Dict[str, Dict[str, float]]:
+                   max_images: Optional[int] = None,
+                   batch_size: int = 8) -> Dict[str, Dict[str, float]]:
     """Run a predictor over dataset dicts and score — the shared glue behind
     ``uwcv eval`` (cli/main.py) and the HPO val-mAP objective
-    (hpo/study.py).  Pass either a built Predictor or params."""
+    (hpo/study.py).  Pass either a built Predictor or params.
+
+    Images run in batches of ``batch_size`` (the last chunk pads by
+    repeating its final image so every dispatch reuses ONE compiled
+    program): on remote-attached chips the per-dispatch floor is ~26 ms
+    (PERF.md), so batch-1 eval paid it per image.  Same-size images are
+    per-image identical batched or not (the batch canvas equals the
+    single-image canvas); mixed-size folders share the batch-max canvas
+    exactly like ``predict_batch`` folder inference."""
     from uwcv_tpu.data.loader import load_image_rgb
     from uwcv_tpu.data.rasterize import annotations_to_arrays
     from uwcv_tpu.engine.batch_inference import resize_masks_to_original
@@ -328,12 +337,18 @@ def evaluate_split(cfg, dicts, predictor=None, params=None,
 
     if predictor is None:
         predictor = Predictor(cfg, params)
+    recs = dicts[:max_images]
     preds, gts = [], []
-    for rec in dicts[:max_images]:
-        img = load_image_rgb(rec["file_name"])
-        inst = predictor(img).to_numpy()
-        inst = resize_masks_to_original(inst, img.shape[:2])
-        preds.append(inst)
+    bs = max(1, min(batch_size, len(recs)))   # small splits: one program
+    for start in range(0, len(recs), bs):
+        chunk = recs[start:start + bs]
+        images = [load_image_rgb(r["file_name"]) for r in chunk]
+        padded = images + [images[-1]] * (bs - len(images))
+        insts = predictor.predict_batch(padded)[:len(images)]
+        for img, inst in zip(images, insts):
+            pred = resize_masks_to_original(inst.to_numpy(), img.shape[:2])
+            preds.append(pred)
+    for rec in recs:
         arr = annotations_to_arrays(rec["annotations"], rec["height"],
                                     rec["width"], max_instances=256)
         n = arr["num_instances"]
