@@ -257,9 +257,11 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
 
     Trials run one-per-device-group concurrently.  The eval predictor
     compile (minutes at production canvas through a remote link) is
-    amortized: one compiled Predictor per (device group, anchor_scale) —
-    anchor sizes are the ONLY searched knob baked into the inference graph;
-    lr/roi_batch are train-only — and later trials swap weights in with
+    amortized: one compiled Predictor per (device group, inference-relevant
+    model-config subset) — the cache key hashes every non-train-only
+    ModelConfig field, so any searched knob that reaches the inference
+    graph gets its own compile while train-only knobs (lr/roi_batch/class
+    weights) share one — and later trials swap weights in with
     ``Predictor.set_params`` (no retrace).  ``eval_max_images`` caps the
     objective's eval cost (default None = the full split; callers opt into
     truncation explicitly — a silent cap makes trial scores noisier with no
