@@ -44,16 +44,46 @@ class ModelConfig:
         default=2000, metadata={"scope": "train"})    # per level
     rpn_pre_nms_topk_test: int = field(
         default=1000, metadata={"scope": "runtime"})
+    # Use TPU-native approximate top-k (jax.lax.approx_max_k, the
+    # PartialReduce-based op) for the per-level pre-NMS candidate selection
+    # instead of a full sort-based top_k.  The p2 objectness map carries
+    # H/4·W/4·A logits (~287k at the 896×1024 canvas with 5 anchor ratios) —
+    # a full top-k there is sort-bound VPU work for 1000 survivors.  The
+    # approximation may miss a small fraction of the true top-k
+    # (recall_target below); held-out-mAP neutrality must be A/B'd per
+    # workload (tools/topk_ab.py) before flipping this on.  OFF by default =
+    # exact Detectron2 candidate selection.
+    rpn_approx_topk: bool = field(
+        default=False, metadata={"scope": "runtime"})
+    rpn_approx_topk_recall: float = field(
+        default=0.95, metadata={"scope": "runtime"})
     rpn_post_nms_topk_train: int = field(
         default=1000, metadata={"scope": "train"})
-    # Detectron2's zoo default is 1000 (what the reference inherits
-    # untuned); this workload's micrographs carry tens of instances, and
-    # 300 measures mAP-NEUTRAL on the held-out split (segm 0.6034 vs
-    # 0.6022 at 1000, tools/topk_ab.py) while cutting the box stage's
-    # pooler-DMA + head cost ~linearly: 110.4 → 123.6 img/s @32 on chip
-    # (PERF.md r4).  Set 1000 to mirror Detectron2 exactly.
+    # Detectron2's zoo default, kept as OUR default because smaller
+    # budgets proved checkpoint-FRAGILE: 300 measured mAP-neutral on one
+    # trained checkpoint (segm 0.6034 vs 0.6022, tools/topk_ab.py) but on
+    # a same-recipe retrain it zeroed the thin scale-bar class and halved
+    # class1 (segm 0.471@300 vs 0.648@1000; knee 300/400→class0 0.0,
+    # 500→0.11, 700→full recovery — tools/eval_probe.py, QUALITY.md).
+    # The cut is one GLOBAL top-k over per-level-NMS survivors, so a level
+    # whose objectness calibrates low is silently starved.  Cutting this
+    # is still the largest single inference win (~+15% img/s @32 at 300,
+    # PERF.md r4) — tune it per DEPLOYED CHECKPOINT with tools/topk_ab.py
+    # + per-class eval_probe.py, never from another checkpoint's A/B.
     rpn_post_nms_topk_test: int = field(
-        default=300, metadata={"scope": "runtime"})
+        default=1000, metadata={"scope": "runtime"})
+    # Per-level minimum quota inside the cross-level post-NMS budget
+    # (0 = off = pure Detectron2 global top-k).  With floor=m, each FPN
+    # level's top-m NMS survivors are guaranteed slots before the rest of
+    # the budget is filled by global objectness rank.  This removes the
+    # budget cut's starvation mode measured in QUALITY.md: RPN objectness
+    # calibrates differently per level and per checkpoint, so a global cut
+    # can hand one level 45% of a 300 budget while the level carrying a
+    # whole class drops from 33% to 16% (tools/proposal_budget_diag.py).
+    # Applies at inference only (training keeps Detectron2 semantics —
+    # sampling already class-balances there).
+    rpn_post_nms_level_floor: int = field(
+        default=0, metadata={"scope": "runtime"})
     rpn_nms_thresh: float = 0.7
     rpn_batch_size_per_image: int = field(
         default=256, metadata={"scope": "train"})

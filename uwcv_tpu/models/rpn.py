@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 from uwcv_tpu.config import ModelConfig
 from uwcv_tpu.ops.nms import NEG_INF, nms_mask
+
+# Added to per-level-guaranteed candidates before the cross-level top-k
+# (rpn_post_nms_level_floor); far above any objectness logit, far below
+# |NEG_INF| so suppressed entries stay last even if bonused by a bug.
+_FLOOR_BONUS = 1e6
 from uwcv_tpu.structures.boxes import clip_boxes, decode_deltas, nonempty_boxes
 
 LEVELS = ("p2", "p3", "p4", "p5", "p6")
@@ -98,7 +103,14 @@ def generate_proposals(
             logits = obj_i[name].reshape(-1)          # [HWA]
             d = deltas_i[name].reshape(-1, 4)         # [HWA,4]
             k = min(pre_k, logits.shape[0])
-            top_scores, idx = jax.lax.top_k(logits, k)
+            if cfg.rpn_approx_topk and not training and k < logits.shape[0]:
+                # TPU PartialReduce approximate top-k (see config knob doc);
+                # results are unsorted, which is fine: NMS sorts internally
+                # and the final cross-level top_k re-sorts.
+                top_scores, idx = jax.lax.approx_max_k(
+                    logits, k, recall_target=cfg.rpn_approx_topk_recall)
+            else:
+                top_scores, idx = jax.lax.top_k(logits, k)
             sel_anchors = anchors[name][idx]
             sel_deltas = d[idx]
             boxes = decode_deltas(sel_deltas, sel_anchors,
@@ -122,7 +134,28 @@ def generate_proposals(
 
         boxes = jnp.concatenate(cand_boxes)      # [sum_k, 4]
         masked = jnp.concatenate(cand_scores)
-        top_scores, idx = jax.lax.top_k(masked, post_k)
+        floor = 0 if training else cfg.rpn_post_nms_level_floor
+        if floor > 0:
+            # Guarantee each level's top-floor NMS survivors a slot in the
+            # global budget: bonus them far above the logit range, select
+            # on the bonused scores, then report the ORIGINAL scores.  A
+            # level with fewer than `floor` survivors guarantees all of
+            # them (the threshold falls to NEG_INF and the >NEG_INF/2
+            # guard keeps suppressed entries out).  Exactly the global
+            # top-k when every level's quota already ranks inside the
+            # budget, so floor=0 ≡ no-op is also value-exact at large k.
+            bonused = []
+            for s in cand_scores:
+                m = min(floor, s.shape[0])
+                thr = jax.lax.top_k(s, m)[0][-1]
+                guarantee = (s >= thr) & (s > NEG_INF / 2)
+                bonused.append(jnp.where(guarantee, s + _FLOOR_BONUS, s))
+            sel_scores = jnp.concatenate(bonused)
+        else:
+            sel_scores = masked
+        top_sel, idx = jax.lax.top_k(sel_scores,
+                                     min(post_k, sel_scores.shape[0]))
+        top_scores = masked[idx] if floor > 0 else top_sel
         valid = top_scores > NEG_INF / 2
         out_boxes = jnp.where(valid[:, None], boxes[idx], 0.0)
         return out_boxes, top_scores, valid
