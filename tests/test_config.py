@@ -47,3 +47,16 @@ def test_roundtrip_dict():
     cfg2 = Config.from_dict(d)
     assert cfg2.solver.max_iter == 50
     assert cfg2.model.anchor_sizes == cfg.model.anchor_sizes
+
+
+def test_inference_budget_defaults_are_detectron2_safe():
+    """Correctness-regression pin: the test-time proposal budget default
+    must stay at Detectron2's 1000.  A 300 default measured mAP-neutral on
+    the checkpoint it was A/B'd on, then zeroed the scale-bar class and
+    halved class1 on a same-recipe retrain (QUALITY.md, eval-budget
+    section; QUALITY_r04_evalbudget.json).  Budget cuts are a
+    per-deployed-checkpoint tuning, never a default."""
+    cfg = Config()
+    assert cfg.model.rpn_post_nms_topk_test == 1000
+    # the starvation mitigations ship OFF: pure Detectron2 semantics
+    assert cfg.model.rpn_post_nms_level_floor == 0
