@@ -48,11 +48,13 @@ class ModelConfig:
     # PartialReduce-based op) for the per-level pre-NMS candidate selection
     # instead of a full sort-based top_k.  The p2 objectness map carries
     # H/4·W/4·A logits (~287k at the 896×1024 canvas with 5 anchor ratios) —
-    # a full top-k there is sort-bound VPU work for 1000 survivors.  The
-    # approximation may miss a small fraction of the true top-k
-    # (recall_target below); held-out-mAP neutrality must be A/B'd per
-    # workload (tools/topk_ab.py) before flipping this on.  OFF by default =
-    # exact Detectron2 candidate selection.
+    # a full top-k there is sort-bound VPU work for 1000 survivors.
+    # Measured on chip: +4.3% img/s @32 (119.5→124.7, PERF.md r4);
+    # held-out mAP NEUTRAL on the R50 retrain checkpoint (segm 0.6486 vs
+    # 0.6477) but a small real cost on the R101 headline checkpoint
+    # (segm 0.6914 vs 0.6969, bbox 0.7703 vs 0.7816) — so, like the budget
+    # knobs, A/B per deployed checkpoint (tools/topk_ab.py) before
+    # enabling.  OFF by default = exact Detectron2 candidate selection.
     rpn_approx_topk: bool = field(
         default=False, metadata={"scope": "runtime"})
     rpn_approx_topk_recall: float = field(

@@ -30,6 +30,10 @@ from uwcv_tpu.ops.nms import NEG_INF, nms_mask
 # Added to per-level-guaranteed candidates before the cross-level top-k
 # (rpn_post_nms_level_floor); far above any objectness logit, far below
 # |NEG_INF| so suppressed entries stay last even if bonused by a bug.
+# f32 quantization at 1e6 (~0.06) coarsens ordering WITHIN the bonused
+# tier; harmless when 5*floor <= post_k (every guaranteed candidate wins a
+# slot and downstream is order-agnostic), and only slot-arbitrates among
+# near-tied guarantees when the floor overcommits the budget.
 _FLOOR_BONUS = 1e6
 from uwcv_tpu.structures.boxes import clip_boxes, decode_deltas, nonempty_boxes
 
