@@ -44,18 +44,36 @@ def _area(b):
     return max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
 
 
+def _norm_gts(gts):
+    """gts entries are either plain boxes or (box, iscrowd) tuples."""
+    out = []
+    for g in gts:
+        if (isinstance(g, tuple) and len(g) == 2
+                and isinstance(g[1], (bool, int, np.bool_))):
+            out.append((list(g[0]), bool(g[1])))
+        else:
+            out.append((list(g), False))
+    return out
+
+
 def oracle_eval_img(preds, gts, thr, rng_lo, rng_hi, max_det):
     """Literal COCOeval.evaluateImg: returns (scores, tp, ignore) lists.
 
     preds: [(box, score)] — sorted desc by score, capped at max_det;
-    gts: [box].
+    gts: [box] or [(box, iscrowd)].  Crowd semantics are the literal
+    pycocotools ones: crowd gts are always-ignore (never in num_gt), their
+    IoU denominator is the DETECTION area, and the gtm-taken check is
+    skipped for them (``if gtm[gind]>0 and not iscrowd[gind]: continue``).
     """
     order = sorted(range(len(preds)), key=lambda i: -preds[i][1])[:max_det]
     preds = [preds[i] for i in order]
-    g_ig = [not (rng_lo <= _area(g) <= rng_hi) for g in gts]
+    norm = _norm_gts(gts)
+    g_crowd = [c for _, c in norm]
+    g_ig = [c or not (rng_lo <= _area(g) <= rng_hi) for g, c in norm]
     # pycocotools sorts gts ignored-last (stable)
-    g_order = sorted(range(len(gts)), key=lambda i: g_ig[i])
-    gts = [gts[i] for i in g_order]
+    g_order = sorted(range(len(norm)), key=lambda i: g_ig[i])
+    gts = [norm[i][0] for i in g_order]
+    g_crowd = [g_crowd[i] for i in g_order]
     g_ig = [g_ig[i] for i in g_order]
 
     gtm = [False] * len(gts)
@@ -64,11 +82,18 @@ def oracle_eval_img(preds, gts, thr, rng_lo, rng_hi, max_det):
         best = thr
         m = -1
         for gi, g in enumerate(gts):
-            if gtm[gi]:
-                continue
+            if gtm[gi] and not g_crowd[gi]:
+                continue                   # crowds absorb many detections
             if m > -1 and not g_ig[m] and g_ig[gi]:
                 break                      # regular match found; ignored
             iou = _iou(box, g)             # section begins — stop looking
+            if g_crowd[gi]:
+                # maskUtils.iou(d, g, iscrowd): inter / det area
+                x1 = max(box[0], g[0]); y1 = max(box[1], g[1])
+                x2 = min(box[2], g[2]); y2 = min(box[3], g[3])
+                inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+                da = _area(box)
+                iou = inter / da if da > 0 else 0.0
             if iou < best:
                 continue
             best = iou
@@ -169,9 +194,11 @@ def oracle_summary(images, num_classes):
     return res
 
 
-def _random_scene(rng, num_classes):
+def _random_scene(rng, num_classes, crowd_prob=0.0):
     """Random gts + predictions with deliberate nastiness: duplicates,
-    exact-tie IoUs (copied boxes), class confusion, tied scores."""
+    exact-tie IoUs (copied boxes), class confusion, tied scores; with
+    ``crowd_prob``, large crowd regions with several detections inside
+    (the pycocotools ignore-match regime)."""
     gts_by_c, preds_by_c = {}, {}
     for c in range(num_classes):
         n_g = int(rng.integers(0, 5))
@@ -180,8 +207,33 @@ def _random_scene(rng, num_classes):
             x, y = rng.uniform(0, 400, 2)
             w, h = rng.uniform(4, 200, 2)
             gts.append([x, y, x + w, y + h])
+        crowd_boxes = []
+        if crowd_prob and rng.uniform() < crowd_prob:
+            for _ in range(int(rng.integers(1, 3))):
+                x, y = rng.uniform(0, 250, 2)
+                w, h = rng.uniform(80, 250, 2)
+                crowd_boxes.append([x, y, x + w, y + h])
+            gts = [(g, False) for g in gts] + \
+                  [(g, True) for g in crowd_boxes]
         if gts:
             gts_by_c[c] = gts
+        if crowd_boxes:
+            # detections INSIDE crowd regions: must become ignore-matches,
+            # not FPs — and several may share one crowd gt
+            preds_in_crowd = []
+            for g in crowd_boxes:
+                for _ in range(int(rng.integers(1, 4))):
+                    cw = rng.uniform(6, max((g[2] - g[0]) * 0.8, 7))
+                    ch = rng.uniform(6, max((g[3] - g[1]) * 0.8, 7))
+                    cx = rng.uniform(g[0], max(g[2] - cw, g[0] + 1e-3))
+                    cy = rng.uniform(g[1], max(g[3] - ch, g[1] + 1e-3))
+                    preds_in_crowd.append(
+                        ([cx, cy, cx + cw, cy + ch],
+                         float(np.round(rng.uniform(0.1, 1.0), 1))))
+            preds_by_c.setdefault(c, [])
+            preds_by_c[c].extend(preds_in_crowd)
+            # jittered dets below target the NON-crowd gts only
+            gts = [g for g, crowd in gts_by_c[c] if not crowd]
         preds = []
         for g in gts:
             for _ in range(int(rng.integers(0, 3))):   # 0-2 dets per gt
@@ -198,7 +250,8 @@ def _random_scene(rng, num_classes):
         if preds and rng.uniform() < 0.3 and gts:
             preds.append((list(gts[0]), 0.5))           # exact-IoU tie
         if preds:
-            preds_by_c[c] = preds
+            preds_by_c.setdefault(c, [])
+            preds_by_c[c].extend(preds)
     return preds_by_c, gts_by_c
 
 
@@ -232,3 +285,76 @@ def test_fuzz_multi_image_multi_class_vs_oracle(seed):
     for key, w in want.items():
         assert got[key] == pytest.approx(w, abs=1e-9), (
             key, got[key], w, seed)
+
+
+def _feed_evaluator(images, num_classes, iou_type="bbox"):
+    ev = COCOEvaluator(num_classes=num_classes, iou_type=iou_type)
+    for preds_by_c, gts_by_c in images:
+        pb, ps, pc = [], [], []
+        for c, preds in preds_by_c.items():
+            for b, s in preds:
+                pb.append(b)
+                ps.append(s)
+                pc.append(c)
+        gb, gc, gcr = [], [], []
+        for c, gts in gts_by_c.items():
+            for g in _norm_gts(gts):
+                gb.append(g[0])
+                gc.append(c)
+                gcr.append(g[1])
+        ev.add_image(
+            {"boxes": np.array(pb).reshape(-1, 4), "scores": np.array(ps),
+             "classes": np.array(pc, int)},
+            {"boxes": np.array(gb).reshape(-1, 4),
+             "classes": np.array(gc, int),
+             "iscrowd": np.array(gcr, bool)})
+    return ev
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12, 13, 14, 15, 16, 17])
+def test_fuzz_crowd_vs_oracle(seed):
+    """VERDICT r4 missing #2: crowd regions present — the evaluator's
+    vectorized crowd handling must match the literal pycocotools loop."""
+    rng = np.random.default_rng(seed)
+    num_classes = 3
+    n_images = int(rng.integers(2, 6))
+    images = [_random_scene(rng, num_classes, crowd_prob=0.7)
+              for _ in range(n_images)]
+    got = _feed_evaluator(images, num_classes).summarize()
+    want = oracle_summary(images, num_classes)
+    for key, w in want.items():
+        assert got[key] == pytest.approx(w, abs=1e-9), (
+            key, got[key], w, seed)
+
+
+def test_crowd_detections_are_ignored_not_fp():
+    """3 detections inside one crowd region: all ignore-matched (zero FP);
+    AP is driven by the single real gt alone."""
+    crowd = [0.0, 0.0, 200.0, 200.0]
+    real = [300.0, 300.0, 340.0, 340.0]
+    preds = [([10.0, 10.0, 50.0, 50.0], 0.9),
+             ([60.0, 60.0, 120.0, 120.0], 0.8),
+             ([130.0, 130.0, 190.0, 190.0], 0.7),
+             (list(real), 0.6)]
+    images = [({0: preds}, {0: [(crowd, True), (real, False)]})]
+    got = _feed_evaluator(images, 1).summarize()
+    assert got["AP"] == pytest.approx(1.0)          # perfect on the real gt
+    assert got["AR@100"] == pytest.approx(1.0)
+    # same detections WITHOUT the crowd flag: 3 FPs ranked above the TP
+    images_nocrowd = [({0: preds}, {0: [crowd, real]})]
+    got2 = _feed_evaluator(images_nocrowd, 1).summarize()
+    assert got2["AP"] < 0.5
+
+
+def test_crowd_mask_iou_uses_det_area():
+    """Segm crowd IoU = intersection / det pixel count (maskUtils.iou)."""
+    from uwcv_tpu.eval.coco_eval import mask_iou_np
+
+    g = np.zeros((1, 64, 64), bool)
+    g[0, :32, :] = True                # crowd: top half
+    d = np.zeros((1, 64, 64), bool)
+    d[0, 16:32, :] = True              # det fully inside the crowd
+    plain = mask_iou_np(d, g)
+    crowd = mask_iou_np(d, g, b_crowd=np.array([True]))
+    assert plain[0, 0] == pytest.approx((16 * 64) / (32 * 64))
+    assert crowd[0, 0] == pytest.approx(1.0)

@@ -43,18 +43,29 @@ def load_coco_json(
             "annotations": [],
         }
         for ann in anns_by_image.get(img["id"], []):
-            if ann.get("iscrowd", 0):
-                continue  # reference mapper drops iscrowd (nn_train.py:150)
             x, y, w, h = ann["bbox"]  # COCO XYWH
             seg = ann.get("segmentation", [])
-            if isinstance(seg, dict):
-                continue  # RLE crowd segmentation — skipped with iscrowd
-            record["annotations"].append({
+            crowd = int(ann.get("iscrowd", 0))
+            entry = {
                 "bbox": [float(x), float(y), float(x + w), float(y + h)],
                 "bbox_mode": "XYXY_ABS",
-                "segmentation": [list(map(float, p)) for p in seg],
                 "category_id": id_map[ann["category_id"]],
-            })
+                # crowd annotations are KEPT with the flag: the train
+                # loader drops them (the reference mapper's convention,
+                # nn_train.py:150 / Detectron2 DatasetMapper iscrowd==0
+                # filter) while the evaluator consumes them as
+                # pycocotools ignore-matches (eval/coco_eval.py)
+                "iscrowd": crowd,
+            }
+            if isinstance(seg, dict):
+                # uncompressed COCO RLE (the crowd-region format): decoded
+                # lazily by rasterize.annotations_to_arrays via
+                # measure/rle.py
+                entry["segmentation"] = []
+                entry["segmentation_rle"] = seg
+            else:
+                entry["segmentation"] = [list(map(float, p)) for p in seg]
+            record["annotations"].append(entry)
         records.append(record)
     return records
 
@@ -81,8 +92,10 @@ def dataset_dicts_to_coco(
                 "category_id": int(ann["category_id"]),
                 "bbox": [x1, y1, x2 - x1, y2 - y1],
                 "area": float(max(x2 - x1, 0) * max(y2 - y1, 0)),
-                "iscrowd": 0,
-                "segmentation": ann.get("segmentation", []),
+                "iscrowd": int(ann.get("iscrowd", 0)),
+                "segmentation": (ann["segmentation_rle"]
+                                 if ann.get("segmentation_rle") is not None
+                                 else ann.get("segmentation", [])),
             })
             ann_id += 1
     return {

@@ -96,6 +96,11 @@ def prepare_train_sample(record: Dict, cfg: Config,
     for ann in record.get("annotations", []):
         if i >= n_max:
             break
+        if ann.get("iscrowd", 0):
+            # Detectron2 DatasetMapper trains only on iscrowd==0 objects
+            # (the reference inherits this at nn_train.py:150); crowd
+            # regions are eval-side ignore-matches, never train targets
+            continue
         bx = np.asarray(ann["bbox"], np.float64) * [sx, sy, sx, sy]
         # clip to the train canvas (D2 transform_instance_annotations clips
         # boxes to image bounds) — the SA parser can emit polygons slightly

@@ -69,14 +69,25 @@ def annotations_to_arrays(
     width: int,
     max_instances: int,
     rasterize_masks: bool = True,
+    include_crowd: bool = False,
 ) -> dict:
     """Dataset-dict annotations → fixed-capacity padded numpy arrays.
 
     Returns {boxes [N,4] f32, classes [N] i32, valid [N] bool,
     masks [N,H,W] bool (if rasterize_masks)}.  Instances beyond
     ``max_instances`` are dropped (largest-area kept first).
+
+    ``include_crowd=False`` (default) drops ``iscrowd`` annotations — the
+    training-target convention (Detectron2's DatasetMapper keeps only
+    ``iscrowd == 0`` objects; the reference mirrors it at nn_train.py:150).
+    ``include_crowd=True`` keeps them and adds an ``iscrowd [N] bool``
+    output — the EVAL convention, where crowd gts become pycocotools
+    ignore-matches (eval/coco_eval.py).  Crowd segmentations stored as
+    uncompressed COCO RLE dicts (``segmentation_rle``) rasterize through
+    measure/rle.py's decoder.
     """
-    annos = list(annotations)
+    annos = [a for a in annotations
+             if include_crowd or not a.get("iscrowd", 0)]
     if len(annos) > max_instances:
         def area(a):
             x1, y1, x2, y2 = a["bbox"]
@@ -88,6 +99,9 @@ def annotations_to_arrays(
     classes = np.zeros((max_instances,), dtype=np.int32)
     valid = np.zeros((max_instances,), dtype=bool)
     out = {"boxes": boxes, "classes": classes, "valid": valid}
+    if include_crowd:
+        iscrowd = np.zeros((max_instances,), dtype=bool)
+        out["iscrowd"] = iscrowd
     if rasterize_masks:
         masks = np.zeros((max_instances, height, width), dtype=bool)
         out["masks"] = masks
@@ -95,7 +109,19 @@ def annotations_to_arrays(
         boxes[i] = a["bbox"]
         classes[i] = a["category_id"]
         valid[i] = True
+        if include_crowd:
+            iscrowd[i] = bool(a.get("iscrowd", 0))
         if rasterize_masks:
-            masks[i] = polygons_to_mask(a["segmentation"], height, width)
+            rle = a.get("segmentation_rle")
+            if rle is not None:
+                from uwcv_tpu.measure.rle import rle_from_coco
+
+                m = rle_from_coco(rle)
+                mh, mw = m.shape
+                masks[i, :min(mh, height), :min(mw, width)] = \
+                    m[:height, :width]
+            else:
+                masks[i] = polygons_to_mask(a["segmentation"], height,
+                                            width)
     out["num_instances"] = n
     return out

@@ -55,16 +55,29 @@ def parse_instance(anno: Dict, registry: ClassRegistry) -> Optional[Dict]:
     them out; it would KeyError on them, we skip cleanly)."""
     typ = anno.get("type")
     if typ == "ellipse":
-        pts = ellipse_to_polygon(
-            anno["cx"], anno["cy"], anno["rx"], anno["ry"], anno["angle"])
+        try:
+            pts = ellipse_to_polygon(
+                float(anno["cx"]), float(anno["cy"]),
+                float(anno["rx"]), float(anno["ry"]),
+                float(anno.get("angle", 0.0)))
+        except (KeyError, TypeError, ValueError):
+            return None      # malformed ellipse record: skip, don't crash
     elif typ == "polygon":
-        flat = np.asarray(anno["points"], dtype=np.float64)
+        try:
+            flat = np.asarray(anno["points"], dtype=np.float64).reshape(-1)
+        except (KeyError, TypeError, ValueError):
+            return None      # points in an unexpected nesting/dtype
         if flat.size < 6 or flat.size % 2 != 0:
             return None
         pts = flat.reshape(-1, 2)
     else:
         return None
 
+    if not np.isfinite(pts).all():
+        return None          # NaN/inf coordinates would silently poison
+                             # bbox targets downstream
+    if "className" not in anno:
+        return None
     category_id = registry.id_of(anno["className"])
 
     # +0.5 px center offset, as the reference applies to the polygon
@@ -101,18 +114,43 @@ def get_superannotate_dicts(
         for fname in sorted(files):
             if not fname.endswith(".json"):
                 continue
-            with open(os.path.join(root, fname)) as f:
-                payload = json.load(f)
+            try:
+                with open(os.path.join(root, fname)) as f:
+                    payload = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue     # unreadable/truncated export: skip the file
+            if not isinstance(payload, dict):
+                continue     # e.g. SA's classes.json is a LIST — real
+                             # exports ship it next to the per-image jsons
             meta = payload.get("metadata", {})
+            if not isinstance(meta, dict) or "name" not in meta:
+                continue     # not a per-image SA export (config jsons etc.)
+            height, width = meta.get("height"), meta.get("width")
+            if height is None or width is None:
+                # old exports sometimes omit dims; recover them from the
+                # image itself when it exists, else skip the record
+                try:
+                    from PIL import Image
+
+                    with Image.open(os.path.join(img_dir,
+                                                 meta["name"])) as im:
+                        width, height = im.size
+                except Exception:
+                    continue
             record = {
                 "file_name": os.path.join(img_dir, meta["name"]),
                 "image_id": idx,
-                "height": int(meta["height"]),
-                "width": int(meta["width"]),
+                "height": int(height),
+                "width": int(width),
             }
             idx += 1
             objs = []
-            for anno in payload.get("instances", []):
+            instances = payload.get("instances", [])
+            if not isinstance(instances, list):
+                instances = []
+            for anno in instances:
+                if not isinstance(anno, dict):
+                    continue
                 parsed = parse_instance(anno, registry)
                 if parsed is not None:
                     objs.append(parsed)

@@ -16,9 +16,17 @@ protocol for box and mask IoU, matching the pycocotools summary rows:
 - greedy matching is vectorized across all 10 IoU thresholds at once (the
   per-prediction loop is inherently sequential, the threshold axis is not);
 - mask IoU on bitmasks; box IoU on XYXY arrays; instance "area" is the mask
-  pixel count for segm and the box area for bbox (the SA datasets carry no
-  crowd regions — nn_train.py:150 drops iscrowd — so crowd handling is
-  intentionally omitted).
+  pixel count for segm and the box area for bbox;
+- crowd (``iscrowd``) semantics, pycocotools-faithful: a crowd gt is always
+  an IGNORE gt (never counted in num_gt, in every area range), its IoU
+  against a prediction uses intersection / prediction-area instead of
+  union (maskUtils.iou's iscrowd flag), it may be greedily matched by MANY
+  predictions (pycocotools skips the gtm-taken check for crowds), and any
+  prediction matched to it is dropped from scoring rather than counted FP.
+  The reference itself never sees crowds (nn_train.py:150 drops iscrowd at
+  the mapper, and SA exports carry none) — but ``data/coco.py`` imports
+  generic COCO datasets where crowd regions are routine, so mis-scoring
+  them as FPs would silently deflate AP on imported data.
 """
 
 from __future__ import annotations
@@ -43,7 +51,11 @@ AREA_RANGES: Dict[str, Tuple[float, float]] = {
 MAX_DETS = 100
 
 
-def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def box_iou_np(a: np.ndarray, b: np.ndarray,
+               b_crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """Pairwise IoU; where ``b_crowd`` marks a column, the denominator is
+    the *a* (prediction) area instead of the union — pycocotools
+    maskUtils.iou(d, g, iscrowd) bbox semantics."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)))
     lt = np.maximum(a[:, None, :2], b[None, :, :2])
@@ -53,6 +65,8 @@ def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     area_a = np.prod(np.clip(a[:, 2:] - a[:, :2], 0, None), axis=1)
     area_b = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), axis=1)
     union = area_a[:, None] + area_b[None, :] - inter
+    if b_crowd is not None and np.any(b_crowd):
+        union = np.where(b_crowd[None, :], area_a[:, None], union)
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
@@ -65,8 +79,11 @@ def _pack_rows_u64(m: np.ndarray) -> np.ndarray:
     return packed.view(np.uint64)
 
 
-def mask_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """a [N,H,W] bool, b [M,H,W] bool → [N,M] IoU.
+def mask_iou_np(a: np.ndarray, b: np.ndarray,
+                b_crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """a [N,H,W] bool, b [M,H,W] bool → [N,M] IoU.  Where ``b_crowd``
+    marks a column the denominator is the *a* (prediction) pixel count —
+    pycocotools maskUtils.iou(d, g, iscrowd) segm semantics.
 
     Bit-packed: masks become uint64 bit rows; intersections are AND +
     hardware popcount (np.bitwise_count), row-chunked so the largest temp is
@@ -88,6 +105,8 @@ def mask_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     area_a = np.bitwise_count(ap).sum(1, dtype=np.int64).astype(np.float64)
     area_b = np.bitwise_count(bp).sum(1, dtype=np.int64).astype(np.float64)
     union = area_a[:, None] + area_b[None, :] - inter
+    if b_crowd is not None and np.any(b_crowd):
+        union = np.where(b_crowd[None, :], area_a[:, None], union)
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
@@ -114,12 +133,16 @@ def _average_precision(scores: np.ndarray, matched: np.ndarray,
     return float(prec_at.mean())
 
 
-def _greedy_match(iou: np.ndarray, gt_ignore: np.ndarray):
+def _greedy_match(iou: np.ndarray, gt_ignore: np.ndarray,
+                  gt_crowd: Optional[np.ndarray] = None):
     """Greedy COCO matching, all IoU thresholds at once.
 
     iou [P,G] with predictions already in descending-score order;
-    gt_ignore [G] bool.  Returns (matched [T,P], matched_ignored [T,P]):
-    matched_ignored marks predictions whose greedy match was an ignored gt.
+    gt_ignore [G] bool; gt_crowd [G] bool — crowd gts are never marked
+    taken (pycocotools: ``if gtm[tind,gind]>0 and not iscrowd[gind]:
+    continue`` — a crowd region absorbs any number of predictions).
+    Returns (matched [T,P], matched_ignored [T,P]): matched_ignored marks
+    predictions whose greedy match was an ignored gt.
     """
     n_thr = len(IOU_THRESHOLDS)
     p, g = iou.shape
@@ -130,8 +153,10 @@ def _greedy_match(iou: np.ndarray, gt_ignore: np.ndarray):
     taken = np.zeros((n_thr, g), bool)
     t_idx = np.arange(n_thr)
     gt_ig_row = gt_ignore[None, :]
+    reusable = (np.zeros(g, bool) if gt_crowd is None else
+                np.asarray(gt_crowd, bool))[None, :]
     for pi in range(p):
-        cand = np.where(taken, -1.0, iou[pi][None, :])       # [T,G]
+        cand = np.where(taken & ~reusable, -1.0, iou[pi][None, :])  # [T,G]
         # argmax over the REVERSED axis: pycocotools' inner loop uses
         # `if iou < best: continue`, so a later gt with an EQUAL IoU
         # replaces the match — last tied gt wins, and on exact ties (common
@@ -179,6 +204,8 @@ class COCOEvaluator:
 
     def add_image(self, pred: Dict[str, np.ndarray],
                   gt: Dict[str, np.ndarray]) -> None:
+        g_crowd_all = (np.asarray(gt["iscrowd"], bool) if "iscrowd" in gt
+                       else np.zeros(len(np.asarray(gt["classes"])), bool))
         for c in range(self.num_classes):
             p_sel = np.asarray(pred["classes"]) == c
             g_sel = np.asarray(gt["classes"]) == c
@@ -189,6 +216,7 @@ class COCOEvaluator:
             scores = scores[order]
             p_boxes = np.asarray(pred["boxes"])[p_sel][order]
             g_boxes = np.asarray(gt["boxes"])[g_sel]
+            g_crowd = g_crowd_all[g_sel]
             # areas, pycocotools-faithful: GT ignore uses ann['area'] (the
             # SEGMENTATION area) whenever masks exist, under either iouType;
             # DETECTION area follows the result format (loadRes): box area
@@ -199,13 +227,13 @@ class COCOEvaluator:
             g_masks = (np.asarray(gt["masks"])[g_sel]
                        if "masks" in gt else None)
             if self.iou_type == "bbox":
-                iou = box_iou_np(p_boxes, g_boxes)
+                iou = box_iou_np(p_boxes, g_boxes, b_crowd=g_crowd)
             else:
-                iou = mask_iou_np(p_masks, g_masks)
+                iou = mask_iou_np(p_masks, g_masks, b_crowd=g_crowd)
             self._entries[c].append((
                 scores, iou,
                 self._areas(p_boxes, p_masks),
-                self._areas(g_boxes, g_masks)))
+                self._areas(g_boxes, g_masks), g_crowd))
 
     def _accumulate(self, c: int, area_rng: Tuple[float, float]):
         """Match every stored image of class c under one area range.
@@ -216,10 +244,12 @@ class COCOEvaluator:
         lo, hi = area_rng
         all_scores, all_matched, all_ignore, per_image = [], [], [], []
         num_gt = 0
-        for scores, iou, p_area, g_area in self._entries[c]:
-            gt_ig = (g_area < lo) | (g_area > hi)
+        for scores, iou, p_area, g_area, g_crowd in self._entries[c]:
+            # crowd gts are ignore gts in EVERY range (pycocotools _prepare:
+            # gt['ignore'] = gt['ignore'] or gt['iscrowd'])
+            gt_ig = (g_area < lo) | (g_area > hi) | g_crowd
             num_gt += int((~gt_ig).sum())
-            matched, matched_ig = _greedy_match(iou, gt_ig)
+            matched, matched_ig = _greedy_match(iou, gt_ig, g_crowd)
             out_rng = (p_area < lo) | (p_area > hi)
             pred_ig = matched_ig | (~matched & out_rng[None, :])
             all_scores.append(scores)
@@ -350,9 +380,11 @@ def evaluate_split(cfg, dicts, predictor=None, params=None,
             preds.append(pred)
     for rec in recs:
         arr = annotations_to_arrays(rec["annotations"], rec["height"],
-                                    rec["width"], max_instances=256)
+                                    rec["width"], max_instances=256,
+                                    include_crowd=True)
         n = arr["num_instances"]
         gts.append({"boxes": arr["boxes"][:n], "classes": arr["classes"][:n],
-                    "masks": arr["masks"][:n]})
+                    "masks": arr["masks"][:n],
+                    "iscrowd": arr["iscrowd"][:n]})
     return evaluate_dataset(preds, gts, cfg.model.num_classes,
                             iou_types=iou_types)
