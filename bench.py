@@ -268,12 +268,18 @@ def _measure() -> None:
             out = predictor._jit_run(*big_ops)
             np.asarray(out[0].scores)
             device_ops = big_ops   # cost analysis below uses the last GOOD ops
+            # ≥4 executions per window: with one execution per window the
+            # ~26 ms tunnel dispatch/sync round-trip (PERF.md dispatch
+            # floor — attachment overhead, not framework cost; a local
+            # PCIe host pays ~none of it) lands fully inside EVERY timed
+            # window and understates the chip by ~12% at batch 32
+            execs = max(n_batches // (big // batch), 4)
             for rep in range(reps):
                 t = time.perf_counter()
-                for _ in range(max(n_batches // (big // batch), 1)):
+                for _ in range(execs):
                     out = predictor._jit_run(*big_ops)
                 np.asarray(out[0].scores)
-                n_done = max(n_batches // (big // batch), 1) * big
+                n_done = execs * big
                 ips = n_done / (time.perf_counter() - t)
                 log(f"device-resident batch={big} window {rep}: "
                     f"{ips:.3f} img/s")

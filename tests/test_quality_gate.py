@@ -120,3 +120,50 @@ def test_train_produces_detections(tmp_path):
     # 2026-08-17's host).
     assert best["bbox"] >= 0.09, best
     assert best["segm"] >= 0.08, best
+
+
+def test_committed_gate_checkpoint(tmp_path):
+    """Eval-only gate against the COMMITTED reference checkpoint
+    (VERDICT r4 #7): no training in the loop, so the threshold can sit at
+    0.8× the recorded score instead of the from-scratch noise floor above.
+    Catches regressions anywhere in the eval path — predictor graph,
+    postprocessing, RLE/paste, evaluator — that the train-smoke gate's
+    loose thresholds would absorb.  Skips until tools/make_gate_ckpt.py
+    has produced assets/gate/ (chip-trained once, then committed).
+    """
+    import json
+    import os
+
+    import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    npz = os.path.join(repo, "assets", "gate", "gate_ckpt.npz")
+    meta_path = os.path.join(repo, "assets", "gate", "gate_meta.json")
+    if not (os.path.exists(npz) and os.path.exists(meta_path)):
+        pytest.skip("no committed gate checkpoint (run tools/make_gate_ckpt.py)")
+    with open(meta_path) as f:
+        meta = json.load(f)
+
+    from tools.make_gate_ckpt import ensure_gate_dataset, gate_config
+
+    from uwcv_tpu.data.superannotate import get_superannotate_dicts
+    from uwcv_tpu.engine.checkpoint import load_params_npz
+    from uwcv_tpu.eval.coco_eval import evaluate_split
+    from uwcv_tpu.models.rcnn import MaskRCNN, init_params
+
+    root = str(tmp_path / "gate_data")
+    ensure_gate_dataset(root)
+    test_dicts = get_superannotate_dicts(os.path.join(root, "Test"))
+    assert len(test_dicts) == 12
+
+    cfg = gate_config(root)
+    cfg.model.dtype = "float32"   # CPU CI: bf16 emulation is slow and the
+    # gate threshold (0.8×) absorbs the f32-vs-bf16 eval delta
+    model = MaskRCNN(cfg.model)
+    target = init_params(model, jax.random.key(0))
+    params = load_params_npz(npz, target)
+
+    results = evaluate_split(cfg, test_dicts, params=params)
+    segm, bbox = results["segm"]["AP"], results["bbox"]["AP"]
+    assert segm >= 0.8 * meta["segm_AP"], (segm, meta)
+    assert bbox >= 0.8 * meta["bbox_AP"], (bbox, meta)

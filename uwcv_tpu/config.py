@@ -24,6 +24,11 @@ class ModelConfig:
     # Backbone
     depth: int = 50                       # 50 or 101 (reference trains 101, benches R50)
     fpn_channels: int = 256
+    # Box-head FC width (Detectron2 MODEL.ROI_BOX_HEAD.FC_DIM).  1024 is
+    # the zoo default; small values shrink the dominant parameter block
+    # (fc1 is fpn_channels·7·7·fc_dim) — used by the committed CI gate
+    # checkpoint (tools/make_gate_ckpt.py)
+    box_fc_dim: int = 1024
     num_classes: int = 4                  # nn_train.py:206
     mask_on: bool = True
     # Compute dtype for the conv trunk (MXU-friendly)

@@ -69,6 +69,40 @@ def save_params(output_dir: str, params, name: str = "model_final") -> str:
     return path
 
 
+def save_params_npz(path: str, params, dtype=np.float16) -> str:
+    """Params → single compressed .npz (leaves flattened by '/'-joined
+    path, cast to ``dtype``).  The compact-artifact format behind the
+    committed CI gate checkpoint (tools/make_gate_ckpt.py): orbax dirs are
+    right for training/resume, a 1-file half-precision npz is right for
+    small committed eval references."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for path_keys, leaf in flat:
+        key = "/".join(str(getattr(p, "key", p)) for p in path_keys)
+        arrays[key] = np.asarray(leaf).astype(dtype)
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def load_params_npz(path: str, target_params):
+    """Inverse of save_params_npz: restore onto a target-shaped pytree
+    (leaves cast back to the target dtypes)."""
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+    leaves = []
+    for path_keys, leaf in flat:
+        key = "/".join(str(getattr(p, "key", p)) for p in path_keys)
+        if key not in data:
+            raise KeyError(f"npz missing param leaf {key}")
+        arr = data[key]
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"npz leaf {key} shape {arr.shape} != target {leaf.shape}")
+        leaves.append(jnp.asarray(arr, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, [l for l in leaves])
+
+
 def load_params(path: str, target_params):
     restored = _checkpointer().restore(
         os.path.abspath(path),

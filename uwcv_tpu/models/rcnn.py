@@ -79,7 +79,8 @@ class MaskRCNN(nn.Module):
         self.fpn = FPN(channels=c.fpn_channels, dtype=dtype)
         self.rpn_head = RPNHead(num_anchors=c.num_anchors_per_cell,
                                 channels=c.fpn_channels, dtype=dtype)
-        self.box_head = BoxHead(num_classes=c.num_classes, dtype=dtype)
+        self.box_head = BoxHead(num_classes=c.num_classes,
+                                fc_dim=c.box_fc_dim, dtype=dtype)
         if c.mask_on:
             self.mask_head = MaskHead(num_classes=c.num_classes, dtype=dtype)
 
