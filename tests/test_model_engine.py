@@ -324,7 +324,7 @@ def test_stage_batch_host_canvas_clamps_to_pad():
 
 
 def test_canvas_bucket_knob():
-    """input.canvas_bucket (default 128) shrinks the adaptive host+model
+    """input.canvas_bucket (default 64 since r5) shrinks the adaptive host+model
     canvas toward the true content size: at bucket 64 the reference's
     800×1000 resized content runs at 832×1024 instead of 896×1024 (~7%
     fewer trunk/RPN/paste pixels, PERF.md r4).  Geometry must follow the

@@ -420,8 +420,22 @@ class Predictor:
         scores_np = np.asarray(dets.scores)
         classes_np = np.asarray(dets.classes)
         valid_np = np.asarray(dets.valid) & np.asarray(keep)
-        masks_np = (None if masks_packed is None
-                    else np.asarray(masks_packed))
+        # Pull ONLY the valid-slot prefix of the packed masks: detection
+        # slots are score-sorted, so every valid row sits inside the first
+        # max_k rows — on the 34 MB/s tunnel the full [B, D, H, W/8] pull
+        # was the folder driver's single largest cost (5.7 MB/img at D=50,
+        # 896×1024) while real scenes carry 10-16 instances.  The [:, :k]
+        # slice executes on device; only k/D of the bytes cross the link.
+        masks_np = None
+        max_k = 0
+        if masks_packed is not None:
+            nz = np.nonzero(valid_np)
+            max_k = int(nz[1].max()) + 1 if len(nz[1]) else 1
+            masks_np = np.asarray(masks_packed[:, :max_k])
+            boxes_np = boxes_np[:, :max_k]
+            scores_np = scores_np[:, :max_k]
+            classes_np = classes_np[:, :max_k]
+            valid_np = valid_np[:, :max_k]
         results = []
         for i, (scale, (oh, ow)) in enumerate(
                 zip(scales_list, out_sizes_list)):
