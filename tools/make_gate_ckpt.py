@@ -45,6 +45,10 @@ def gate_config(root: str):
     cfg.model.depth = 26
     cfg.model.fpn_channels = 64
     cfg.model.box_fc_dim = 256
+    # the fused Pallas pooler's VMEM layout assumes the production 256
+    # FPN channels (Mosaic rejects the [w, wx*c] shape cast at c=64);
+    # the tiny gate model pools through the XLA formulation everywhere
+    cfg.model.pooler_pallas = False
     cfg.model.anchor_aspect_ratios = (0.1, 0.5, 1.0, 2.0, 10.0)
     cfg.model.roi_batch_size_per_image = 64
     cfg.model.roi_fg_class_weights = (8.0, 1.0, 1.0, 1.0)
