@@ -136,14 +136,22 @@ def main() -> int:
     if RESUME:
         trainer.resume_or_load(resume=True)
         log(f"resumed at step {int(trainer.state.step)}")
-    loader = TrainLoader(train_dicts, cfg, seed=cfg.solver.seed).start()
+    loader = TrainLoader(train_dicts, cfg, seed=cfg.solver.seed)
+    dd = loader.device_dataset(trainer.mesh)
     log(f"training: {ITERS} iters, batch {BATCH}, lr {LR} "
-        f"(first step compiles; minutes if uncached)")
+        f"(first step compiles; minutes if uncached)"
+        + ("; dataset device-resident" if dd is not None else ""))
     t_train = time.time()
-    try:
-        trainer.fit(iter(loader), log_fn=log)
-    finally:
-        loader.stop()
+    if dd is not None:
+        # HBM-staged dataset: no per-step sample H2D (and no worker
+        # threads), see TrainLoader.device_dataset
+        trainer.fit(loader.index_batches(), log_fn=log, device_dataset=dd)
+    else:
+        loader.start()
+        try:
+            trainer.fit(iter(loader), log_fn=log)
+        finally:
+            loader.stop()
     train_s = time.time() - t_train
     steps_done = int(trainer.state.step)
     log(f"training done: {steps_done} steps in {train_s:.1f}s "

@@ -62,12 +62,17 @@ def _arm(name: str, cfg_src, train_dicts, test_dicts, weights: str):
     # the reference arc: resume=False loads cfg.weights when set
     # (nn_train.py:212); empty weights → fresh init
     trainer.resume_or_load(resume=False)
-    loader = TrainLoader(train_dicts, cfg, seed=cfg.solver.seed).start()
+    loader = TrainLoader(train_dicts, cfg, seed=cfg.solver.seed)
+    dd = loader.device_dataset(trainer.mesh)
     t = time.time()
-    try:
-        trainer.fit(iter(loader), log_fn=log)
-    finally:
-        loader.stop()
+    if dd is not None:
+        trainer.fit(loader.index_batches(), log_fn=log, device_dataset=dd)
+    else:
+        loader.start()
+        try:
+            trainer.fit(iter(loader), log_fn=log)
+        finally:
+            loader.stop()
     train_s = time.time() - t
     log(f"{name}: {ITERS} iters in {train_s:.1f}s; evaluating")
     ecfg = copy.deepcopy(cfg)

@@ -69,11 +69,18 @@ def cmd_train(args) -> int:
     trainer = Trainer(cfg)
     trainer.init_state()
     trainer.resume_or_load(resume=args.resume)
-    loader = TrainLoader(dicts, cfg, seed=cfg.solver.seed).start()
-    try:
-        trainer.fit(iter(loader))
-    finally:
-        loader.stop()
+    loader = TrainLoader(dicts, cfg, seed=cfg.solver.seed)
+    dd = loader.device_dataset(trainer.mesh)
+    if dd is not None:
+        # fine-tune-scale dataset staged in HBM: per-step H2D is one [B]
+        # index vector (TrainLoader.device_dataset)
+        trainer.fit(loader.index_batches(), device_dataset=dd)
+    else:
+        loader.start()
+        try:
+            trainer.fit(iter(loader))
+        finally:
+            loader.stop()
     print(f"done: {cfg.output_dir}/model_final")
     return 0
 

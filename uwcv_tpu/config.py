@@ -343,6 +343,12 @@ class DataConfig:
     # re-padded at batch time, so a 64-image split costs ~200 MB.
     cache_prepared: bool = True
     cache_prepared_mb: int = 2048   # stop inserting past this budget
+    # Device-resident dataset budget (MB of HBM): fine-tune-scale datasets
+    # are staged in HBM ONCE and each step gathers its batch on device from
+    # a tiny [B] index vector — no per-step sample H2D (see
+    # TrainLoader.device_dataset for the measured link/leak rationale).
+    # 0 disables; datasets over budget fall back to the streaming path.
+    device_dataset_mb: int = 2048
 
 
 @dataclass

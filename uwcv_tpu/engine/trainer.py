@@ -88,8 +88,15 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
         {"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
-def make_train_step(model: MaskRCNN, cfg: Config, tx):
-    """Compiled step: (state, device_batch, rng) → (state, metrics)."""
+def make_train_step(model: MaskRCNN, cfg: Config, tx, indexed: bool = False):
+    """Compiled step: (state, device_batch, rng) → (state, metrics).
+
+    ``indexed=True`` builds the device-resident-dataset variant:
+    (state, dataset, idx, rng) → (state, metrics), where ``dataset`` is the
+    whole staged dataset in HBM ([N, ...] per leaf, replicated over the
+    mesh) and ``idx`` a [B] int32 vector — the batch is GATHERED on device,
+    so the step's host→device traffic is the index vector alone (see
+    TrainLoader.device_dataset for the measured rationale)."""
 
     train_size = cfg.input.train_size[1]
 
@@ -108,7 +115,7 @@ def make_train_step(model: MaskRCNN, cfg: Config, tx):
         total = sum(LOSS_WEIGHTS.get(k, 1.0) * v for k, v in losses.items())
         return total, losses
 
-    def train_step(state: TrainState, batch, rng):
+    def _apply(state, batch, rng):
         (total, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -116,6 +123,15 @@ def make_train_step(model: MaskRCNN, cfg: Config, tx):
         metrics = dict(losses)
         metrics["total_loss"] = total
         return TrainState(params, opt_state, state.step + 1), metrics
+
+    if indexed:
+        def train_step(state: TrainState, dataset, idx, rng):
+            batch = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, idx, axis=0), dataset)
+            return _apply(state, batch, rng)
+    else:
+        def train_step(state: TrainState, batch, rng):
+            return _apply(state, batch, rng)
 
     return jax.jit(train_step, donate_argnums=(0,))
 
@@ -182,11 +198,21 @@ class Trainer:
 
     def fit(self, batch_iter: Iterator[Dict[str, np.ndarray]],
             max_iter: Optional[int] = None,
-            log_fn=print) -> TrainState:
+            log_fn=print, device_dataset=None) -> TrainState:
         """Run the training loop for max_iter steps (reference: 1000,
-        nn_train.py:202)."""
+        nn_train.py:202).
+
+        ``device_dataset``: HBM-staged dataset from
+        ``TrainLoader.device_dataset()`` — then ``batch_iter`` must yield
+        [B] int32 index vectors (``TrainLoader.index_batches()``) and each
+        step gathers its batch on device.  None = classic streaming path
+        (batch_iter yields host numpy batches)."""
         if self.state is None:
             self.init_state()
+        indexed = device_dataset is not None
+        if indexed:
+            step_fn = make_train_step(self.model, self.cfg, self.tx,
+                                      indexed=True)
         max_iter = max_iter or self.cfg.solver.max_iter
         rng = jax.random.key(self.cfg.solver.seed + 1)
         metrics_path = os.path.join(self.cfg.output_dir, "metrics.json")
@@ -204,16 +230,34 @@ class Trainer:
             # every step; PERF.md measured it at ~55% of wall step time).
             # Guarded: a resumed-complete run (start_step >= max_iter) must
             # not consume (or StopIteration on) the iterator.
-            pending = (shard_batch(next(batch_iter), self.mesh)
+            def _put(x):
+                if indexed:
+                    # [B] int32 indices; shard over the data axis on meshes
+                    # so each shard gathers its rows from the replicated
+                    # dataset
+                    arr = np.asarray(x, np.int32)
+                    if self.mesh is not None and self.mesh.devices.size > 1:
+                        from uwcv_tpu.parallel.mesh import batch_sharding
+
+                        return jax.device_put(arr,
+                                              batch_sharding(self.mesh))
+                    return jax.device_put(arr)
+                return shard_batch(x, self.mesh)
+
+            pending = (_put(next(batch_iter))
                        if start_step < max_iter else None)
             with open(metrics_path, "a") as mf:
                 for i in range(start_step, max_iter):
                     batch = pending
                     if i + 1 < max_iter:
-                        pending = shard_batch(next(batch_iter), self.mesh)
+                        pending = _put(next(batch_iter))
                     rng, step_rng = jax.random.split(rng)
-                    self.state, metrics = self._step_fn(
-                        self.state, batch, step_rng)
+                    if indexed:
+                        self.state, metrics = step_fn(
+                            self.state, device_dataset, batch, step_rng)
+                    else:
+                        self.state, metrics = self._step_fn(
+                            self.state, batch, step_rng)
                     if (i + 1) % self.cfg.solver.log_period == 0 \
                             or i + 1 == max_iter:
                         m = {k: float(v) for k, v in metrics.items()}

@@ -388,22 +388,46 @@ def run_reference_hpo(cfg, n_trials: int = 8, data_dir: Optional[str] = None,
             trainer = Trainer(tcfg, mesh=mesh)
             trainer.init_state(jax.random.key(seed + trial.number))
             loader = TrainLoader(dicts, tcfg, seed=seed + trial.number,
-                                 num_workers=1).start()
+                                 num_workers=1)
+            # device-resident dataset when it fits HBM: per-step H2D drops
+            # to a [B] index vector — a 16×800-iter sweep would otherwise
+            # ship ~80 GB through the link AND trip the remote client's
+            # per-transfer host leak (TrainLoader.device_dataset)
+            dd = loader.device_dataset(mesh)
+            from uwcv_tpu.engine.trainer import make_train_step
+
+            idx_step = (make_train_step(trainer.model, tcfg, trainer.tx,
+                                        indexed=True)
+                        if dd is not None else None)
+            if dd is None:
+                loader.start()
             losses = []
             try:
                 state = trainer.state
-                batch_iter = iter(loader)
+                batch_iter = (loader.index_batches() if dd is not None
+                              else iter(loader))
                 rng = jax.random.key(1000 + trial.number)
                 from uwcv_tpu.parallel.mesh import shard_batch
 
                 for i in range(max_iter):
-                    batch = shard_batch(next(batch_iter), mesh)
                     rng, step_rng = jax.random.split(rng)
-                    state, metrics = trainer._step_fn(state, batch, step_rng)
+                    if dd is not None:
+                        from uwcv_tpu.parallel.mesh import batch_sharding
+
+                        arr = np.asarray(next(batch_iter), np.int32)
+                        idx = (jax.device_put(arr, batch_sharding(mesh))
+                               if mesh.devices.size > 1
+                               else jax.device_put(arr, groups[gid][0]))
+                        state, metrics = idx_step(state, dd, idx, step_rng)
+                    else:
+                        batch = shard_batch(next(batch_iter), mesh)
+                        state, metrics = trainer._step_fn(state, batch,
+                                                          step_rng)
                     if i >= max_iter - 5:
                         losses.append(float(metrics["total_loss"]))
             finally:
-                loader.stop()
+                if dd is None:
+                    loader.stop()
             if use_map:
                 from uwcv_tpu.eval.coco_eval import evaluate_split
 
