@@ -291,6 +291,8 @@ def test_stage_batch_host_canvas_clamps_to_pad():
     cfg = Config()
     cfg.model.depth = 26
     cfg.model.dtype = "float32"
+    cfg.input.canvas_bucket = 128          # the clamp case under test is
+    #                                        bucket128 > pad; default is 64
     cfg.input.pad_size_test = (192, 320)   # NOT 128-multiples
     cfg.input.test_short_edge = 190
     cfg.input.test_max_size = 400
@@ -311,6 +313,7 @@ def test_stage_batch_host_canvas_clamps_to_pad():
     cfg2 = Config()
     cfg2.model.depth = 26
     cfg2.model.dtype = "float32"
+    cfg2.input.canvas_bucket = 128
     cfg2.input.pad_size_test = (192, 320)
     cfg2.input.test_short_edge = 190
     cfg2.input.test_max_size = 400

@@ -426,22 +426,31 @@ class Predictor:
         # was the folder driver's single largest cost (5.7 MB/img at D=50,
         # 896×1024) while real scenes carry 10-16 instances.  The [:, :k]
         # slice executes on device; only k/D of the bytes cross the link.
+        # Host-side the masks re-pad to the full capacity with calloc'd
+        # zeros (invalid rows), preserving the padded-Instances contract
+        # ([D, H, W] with a valid mask) for every consumer.
         masks_np = None
         max_k = 0
         if masks_packed is not None:
+            d_cap = masks_packed.shape[1]
             nz = np.nonzero(valid_np)
             max_k = int(nz[1].max()) + 1 if len(nz[1]) else 1
-            masks_np = np.asarray(masks_packed[:, :max_k])
-            boxes_np = boxes_np[:, :max_k]
-            scores_np = scores_np[:, :max_k]
-            classes_np = classes_np[:, :max_k]
-            valid_np = valid_np[:, :max_k]
+            if max_k < d_cap:
+                masks_np = np.asarray(masks_packed[:, :max_k])
+            else:
+                masks_np = np.asarray(masks_packed)
         results = []
         for i, (scale, (oh, ow)) in enumerate(
                 zip(scales_list, out_sizes_list)):
             masks_i = None
             if masks_np is not None:
-                masks_i = np.unpackbits(masks_np[i], axis=-1).astype(bool)
+                prefix = np.unpackbits(masks_np[i], axis=-1).astype(bool)
+                if prefix.shape[0] < boxes_np.shape[1]:
+                    masks_i = np.zeros(
+                        (boxes_np.shape[1],) + prefix.shape[1:], bool)
+                    masks_i[:prefix.shape[0]] = prefix
+                else:
+                    masks_i = prefix
             # clip to the true content extent in the model frame, THEN unmap
             # to original-image coordinates (Detectron2 detector_postprocess
             # clips the same way: the shared model canvas can exceed this
